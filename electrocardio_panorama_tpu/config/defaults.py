@@ -1,0 +1,74 @@
+"""Default configuration.
+
+Mirrors the reference's yacs config tree (reference codes/config/default.py:1-56)
+key-for-key so the reference's shipped YAML files (e.g. codes/config/nef_net.yml)
+load unchanged, while adding a TPU group for mesh/precision knobs that have no
+reference counterpart.
+"""
+
+from electrocardio_panorama_tpu.config.node import Node
+
+
+def get_default_cfg() -> Node:
+    cfg = Node()
+    cfg.seed = 123
+    cfg.fit_msg = "None"
+    cfg.output_dir = "output"
+    cfg.latent_save_dir = "output/latents"
+    cfg.desc = "model_v2_tianchi"
+
+    # ------------------------------------------------------------------ DATA
+    # reference codes/config/default.py:14-27
+    cfg.DATA = Node()
+    cfg.DATA.dataset = "tianchi"
+    cfg.DATA.train_label_path = "data/tianchi/tianchi_train_jsons.txt"
+    cfg.DATA.test_label_path = "data/tianchi/tianchi_test_jsons.txt"
+    cfg.DATA.train_data_root = "data/tianchi/npy_data/tianchi_train_round1"
+    cfg.DATA.train_label_root = "data/tianchi/tianchi_interval"
+    cfg.DATA.train_pkl_path = "data/PTB/pkl_data/train_heartbeats.pkl"
+    cfg.DATA.test_pkl_path = "data/PTB/pkl_data/test_heartbeats.pkl"
+    cfg.DATA.noise_std = [
+        4.37258895, 4.73799667, 5.00643047, 6.7582663,
+        6.57354042, 6.31023917, 6.05944371, 7.05612394,
+    ]
+    cfg.DATA.lead_num = 1
+    cfg.DATA.noise = False
+    cfg.DATA.train_data_mode = "normal"
+    cfg.DATA.super_mode = "normal"
+    cfg.DATA.weighted_sample = False
+    cfg.DATA.batch_size = 32           # reference hardcodes 32 (train_net.py:27)
+    cfg.DATA.num_workers = 0           # host pipeline threads (0 = synchronous)
+
+    # ----------------------------------------------------------------- MODEL
+    # reference codes/config/default.py:33-38
+    cfg.MODEL = Node()
+    cfg.MODEL.model = "modelv2"
+    cfg.MODEL.resume = ""
+    cfg.MODEL.loss = "v1"
+    cfg.MODEL.jitter_factor = 0.0
+    cfg.MODEL.theta_L = 1
+
+    # ---------------------------------------------------------------- SOLVER
+    # reference codes/config/default.py:44-55
+    cfg.SOLVER = Node()
+    cfg.SOLVER.optim = "sgd"
+    cfg.SOLVER.scheduler = "steplr"
+    cfg.SOLVER.lr_step = [150, 350]
+    cfg.SOLVER.lr = 1e-3
+    cfg.SOLVER.epochs = 500
+    cfg.SOLVER.OurLoss1_version = "v2"
+    cfg.SOLVER.reg_loss = "l1_loss"
+    cfg.SOLVER.loss_using = [1, 2, 3]
+    cfg.SOLVER.part_loss_no_grad = False
+    cfg.SOLVER.loss_factor = [1, 1, 1]
+
+    # ------------------------------------------------------------------- TPU
+    # New group: TPU/JAX execution knobs. No reference counterpart.
+    cfg.TPU = Node()
+    cfg.TPU.mesh_shape = []            # [] = single device; e.g. [8] for dp=8
+    cfg.TPU.mesh_axes = ["data"]       # axis names matching mesh_shape
+    cfg.TPU.param_dtype = "float32"
+    cfg.TPU.compute_dtype = "float32"  # "bfloat16" for throughput mode
+    cfg.TPU.steps_per_epoch = 0        # 0 = full pass over the dataset
+    cfg.TPU.profile_dir = ""           # non-empty => jax.profiler traces
+    return cfg

@@ -1,0 +1,157 @@
+"""1-D ROI ops over the 7 contiguous heartbeat segments — static-shape XLA.
+
+The reference implements these with Python per-batch/per-roi loops around
+`F.grid_sample` / `F.interpolate` / `F.adaptive_max_pool1d`
+(codes/network/utils/roi_pooling_1d.py:5-99). On TPU those become single
+batched gather/interpolation launches with indices and lerp weights computed
+in-jit from the rois tensor — no host loops, no dynamic shapes.
+
+Bit-parity notes (each verified against torch goldens in tests/test_roi.py):
+
+* `roi_align_1d` reproduces the reference `roi_algin` *as executed*, not as
+  intended. The reference feeds `F.grid_sample` a [B, C, L, 1] tensor with the
+  ROI coordinates on the width-1 axis (roi_pooling_1d.py:65-67, grid x maps to
+  W=1), so the sampled value is the time-axis midpoint 0.5*(x[L/2-1] + x[L/2])
+  scaled by the zero-padding bilinear weight (1 - |x|/2) of the ROI ramp. We
+  compute exactly that closed form: one add + one outer product.
+
+* `roi_reverse_1d` reproduces `roi_pooling_reverse`: each segment j is linearly
+  resampled (torch half-pixel convention) from its fixed S=32 grid back to its
+  true length floor(e_j*s) - floor(s_j*s), and segments are concatenated along
+  time. Because the 7 ROIs share endpoints and span [0, 512], the lengths
+  telescope to exactly L_out = 128. Implemented as one gather + lerp with a
+  per-output-slot segment lookup.
+
+* `roi_pool_1d` reproduces `roi_pooling` (adaptive max pool per segment) — the
+  reference defines it but never calls it in the Nef-Net forward; provided for
+  API completeness, off the hot path.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def roi_align_1d(
+    x: jnp.ndarray,
+    rois: jnp.ndarray,
+    *,
+    size: int = 16,
+    spatial_scale: float = 128 / 512,
+) -> jnp.ndarray:
+    """Exact-parity rewrite of reference `roi_algin` (roi_pooling_1d.py:38-69).
+
+    Args:
+      x: [B, C, L] features (L even in practice; L=128 in Nef-Net).
+      rois: [B, R, 2] integer segment endpoints at the original 512-sample scale.
+      size: samples per segment grid.
+      spatial_scale: feature_len / original_len.
+
+    Returns: [B, C, R, size].
+    """
+    B, C, L = x.shape
+    # grid_sample height coordinate is fixed at y=0 -> source index (L-1)/2.
+    if L % 2 == 0:
+        mid = 0.5 * (x[..., L // 2 - 1] + x[..., L // 2])  # [B, C]
+    else:
+        mid = x[..., (L - 1) // 2]
+    # ROI endpoints projected to (-1, 1): r * scale * 2/L - 1  (no truncation).
+    c = rois.astype(jnp.float32) * (spatial_scale * 2.0 / L) - 1.0  # [B, R, 2]
+    frac = jnp.arange(size, dtype=jnp.float32) / (size - 1)  # torch.linspace
+    grid = c[..., 0:1] + (c[..., 1:2] - c[..., 0:1]) * frac  # [B, R, size]
+    # Zero-padded bilinear weight of the single in-bounds pixel on the W=1 axis.
+    w = jnp.clip(1.0 - jnp.abs(grid) * 0.5, 0.0, None)
+    return (mid[:, :, None, None] * w[:, None, :, :]).astype(x.dtype)
+
+
+def _segment_layout(rois: jnp.ndarray, spatial_scale: float):
+    """Per-batch segment lengths and exclusive-prefix starts after scaling.
+
+    rois: [B, R, 2] -> (lens [B, R] int32, starts [B, R] int32, total [B]).
+    Matches the reference's `rois.mul_(scale).long()` truncation (non-negative
+    endpoints => floor).
+    """
+    scaled = jnp.floor(rois.astype(jnp.float32) * spatial_scale).astype(jnp.int32)
+    lens = scaled[..., 1] - scaled[..., 0]  # [B, R]
+    cum = jnp.cumsum(lens, axis=-1)  # inclusive
+    starts = cum - lens
+    return lens, starts, cum
+
+
+def roi_reverse_1d(
+    x: jnp.ndarray,
+    rois: jnp.ndarray,
+    *,
+    spatial_scale: float = 128 / 512,
+    out_len: int = 128,
+) -> jnp.ndarray:
+    """Exact-parity rewrite of reference `roi_pooling_reverse` (roi_pooling_1d.py:72-99).
+
+    Args:
+      x: [B, C, R, S] per-segment feature grids (S=32 in Nef-Net).
+      rois: [B, R, 2] integer endpoints at the original scale. Must form a
+        contiguous partition whose scaled lengths sum to `out_len` (guaranteed
+        by the dataset: rois[0,0]=0, rois[-1,1]=512).
+      out_len: static output length (128 in Nef-Net).
+
+    Returns: [B, C, out_len].
+    """
+    B, C, R, S = x.shape
+    lens, starts, cum = _segment_layout(rois, spatial_scale)  # [B, R]
+    t = jnp.arange(out_len, dtype=jnp.int32)  # [T]
+
+    # Segment owning each output slot: count of inclusive-cums <= t.
+    seg = jnp.sum(t[None, None, :] >= cum[:, :, None], axis=1)  # [B, T]
+    seg = jnp.minimum(seg, R - 1)
+
+    seg_len = jnp.take_along_axis(lens, seg, axis=1)  # [B, T]
+    seg_start = jnp.take_along_axis(starts, seg, axis=1)
+    local = (t[None, :] - seg_start).astype(jnp.float32)
+
+    # torch F.interpolate(linear, align_corners=False): half-pixel, clamped at 0.
+    denom = jnp.maximum(seg_len, 1).astype(jnp.float32)
+    src = jnp.maximum((local + 0.5) * (S / denom) - 0.5, 0.0)
+    i0 = jnp.minimum(jnp.floor(src).astype(jnp.int32), S - 1)
+    i1 = jnp.minimum(i0 + 1, S - 1)
+    w = (src - i0.astype(jnp.float32)).astype(x.dtype)  # [B, T]
+
+    flat = x.reshape(B, C, R * S)
+    g0 = jnp.take_along_axis(flat, (seg * S + i0)[:, None, :], axis=2)  # [B, C, T]
+    g1 = jnp.take_along_axis(flat, (seg * S + i1)[:, None, :], axis=2)
+    return g0 * (1.0 - w[:, None, :]) + g1 * w[:, None, :]
+
+
+def roi_pool_1d(
+    x: jnp.ndarray,
+    rois: jnp.ndarray,
+    *,
+    size: int = 8,
+    spatial_scale: float = 1.0,
+) -> jnp.ndarray:
+    """Exact-parity rewrite of reference `roi_pooling` (roi_pooling_1d.py:5-35):
+    adaptive max pool of each *inclusive* slice x[..., r0 : r1+1] to `size` bins.
+
+    Not on the Nef-Net forward path (the reference defines but never calls it);
+    implemented with a bin-membership mask reduction.
+
+    x: [B, C, L]; rois: [B, R, 2]. Returns [B, C, R, size].
+    """
+    B, C, L = x.shape
+    R = rois.shape[1]
+    scaled = jnp.floor(rois.astype(jnp.float32) * spatial_scale).astype(jnp.int32)
+    r0 = scaled[..., 0]  # [B, R]
+    # Inclusive slice x[r0 : r1+1], clipped to the array length by slicing
+    # semantics (the final segment ends at L, so r1+1 == L+1 gets clipped).
+    roi_len = jnp.minimum(scaled[..., 1] + 1, L) - scaled[..., 0]
+
+    k = jnp.arange(size, dtype=jnp.float32)
+    # torch adaptive_max_pool1d bin k over a length-n slice: [floor(k*n/size), ceil((k+1)*n/size))
+    n = roi_len[..., None].astype(jnp.float32)  # [B, R, 1]
+    lo = jnp.floor(k * n / size).astype(jnp.int32) + r0[..., None]  # [B, R, size]
+    hi = jnp.ceil((k + 1) * n / size).astype(jnp.int32) + r0[..., None]
+
+    t = jnp.arange(L, dtype=jnp.int32)
+    mask = (t >= lo[..., None]) & (t < hi[..., None])  # [B, R, size, L]
+    neg = jnp.array(-jnp.inf, dtype=x.dtype)
+    vals = jnp.where(mask[:, None], x[:, :, None, None, :], neg)  # [B, C, R, size, L]
+    return jnp.max(vals, axis=-1)

@@ -1,0 +1,20 @@
+"""Test harness: force an 8-device virtual CPU platform before JAX initializes.
+
+Emulates a v5e-8 slice for sharding tests without TPU hardware, per the
+framework's multi-chip test strategy (SURVEY.md section 4).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # override the session's axon/TPU platform
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(123)
