@@ -1,0 +1,118 @@
+"""Functional building blocks shared by the encoder and Nef-Net.
+
+Parameters live in a FLAT dict keyed by torch-style dotted names (e.g.
+``w_conv.0.conv1.weight``). A flat dict is a valid JAX pytree, keeps sharding
+and optax trivial, and makes PyTorch-checkpoint import an identity key mapping
+(training/checkpoint.py).
+
+Block semantics match the reference exactly:
+  * resnet BasicBlock (k7, no BN): conv1 -> relu -> dropout(0.2) -> conv2 +
+    identity residual -> relu (reference resnet_1d.py:27-53).
+  * model-level BasicBlock (k3): same, but the residual passes through a
+    grouped 1x1 conv iff channel counts differ (model_nefnet.py:36-60). The
+    1x1 conv's parameters exist either way (checkpoint-key compatibility).
+  * DoubleConv: (conv k3 -> BN -> relu) x2 (model_nefnet.py:10-27).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from electrocardio_panorama_tpu.models import init as inits
+from electrocardio_panorama_tpu.ops import batch_norm1d, conv1d, dropout
+
+DROPOUT_RATE = 0.2
+
+
+# --------------------------------------------------------------------- init
+def init_resnet_block(rng, prefix: str, in_ch: int, out_ch: int, groups: int, dtype) -> dict:
+    k1, k2 = jax.random.split(rng)
+    return {
+        f"{prefix}.conv1.weight": inits.conv_resnet(k1, out_ch, in_ch // groups, 7, dtype),
+        f"{prefix}.conv2.weight": inits.conv_resnet(k2, out_ch, out_ch // groups, 7, dtype),
+    }
+
+
+def init_model_block(rng, prefix: str, in_ch: int, out_ch: int, groups: int, dtype) -> dict:
+    k1, k2, k3 = jax.random.split(rng, 3)
+    w1, _ = inits.conv_default(k1, out_ch, in_ch // groups, 3, bias=False, dtype=dtype)
+    w2, _ = inits.conv_default(k2, out_ch, out_ch // groups, 3, bias=False, dtype=dtype)
+    wr, br = inits.conv_default(k3, out_ch, in_ch // groups, 1, bias=True, dtype=dtype)
+    return {
+        f"{prefix}.conv1.weight": w1,
+        f"{prefix}.conv2.weight": w2,
+        f"{prefix}.residual_conv.weight": wr,
+        f"{prefix}.residual_conv.bias": br,
+    }
+
+
+def init_double_conv(rng, prefix: str, in_ch: int, out_ch: int, dtype) -> tuple[dict, dict]:
+    k1, k2 = jax.random.split(rng)
+    w1, b1 = inits.conv_default(k1, out_ch, in_ch, 3, bias=True, dtype=dtype)
+    w2, b2 = inits.conv_default(k2, out_ch, out_ch, 3, bias=True, dtype=dtype)
+    bn1_p, bn1_s = inits.bn_init(out_ch, dtype)
+    bn2_p, bn2_s = inits.bn_init(out_ch, dtype)
+    params = {
+        f"{prefix}.0.weight": w1,
+        f"{prefix}.0.bias": b1,
+        f"{prefix}.1.weight": bn1_p["weight"],
+        f"{prefix}.1.bias": bn1_p["bias"],
+        f"{prefix}.3.weight": w2,
+        f"{prefix}.3.bias": b2,
+        f"{prefix}.4.weight": bn2_p["weight"],
+        f"{prefix}.4.bias": bn2_p["bias"],
+    }
+    state = {}
+    for i, s in ((1, bn1_s), (4, bn2_s)):
+        for name, val in s.items():
+            state[f"{prefix}.{i}.{name}"] = val
+    return params, state
+
+
+# -------------------------------------------------------------------- apply
+def resnet_block(p: dict, prefix: str, x, *, groups: int, rng, train: bool):
+    out = conv1d(x, p[f"{prefix}.conv1.weight"], padding=3, groups=groups)
+    out = jnp.maximum(out, 0)
+    out = dropout(out, DROPOUT_RATE, rng, train)
+    out = conv1d(out, p[f"{prefix}.conv2.weight"], padding=3, groups=groups)
+    return jnp.maximum(out + x, 0)
+
+
+def model_block(p: dict, prefix: str, x, *, groups: int, rng, train: bool):
+    out = conv1d(x, p[f"{prefix}.conv1.weight"], padding=1, groups=groups)
+    out = jnp.maximum(out, 0)
+    out = dropout(out, DROPOUT_RATE, rng, train)
+    out = conv1d(out, p[f"{prefix}.conv2.weight"], padding=1, groups=groups)
+    residual = x
+    if out.shape[1] != x.shape[1]:
+        residual = conv1d(
+            x, p[f"{prefix}.residual_conv.weight"], p[f"{prefix}.residual_conv.bias"], groups=groups
+        )
+    return jnp.maximum(out + residual, 0)
+
+
+def double_conv(p: dict, s: dict, prefix: str, x, *, train: bool):
+    """Returns (out, state_updates) — state_updates holds new BN running stats."""
+    updates = {}
+    out = conv1d(x, p[f"{prefix}.0.weight"], p[f"{prefix}.0.bias"], padding=1)
+    out, m, v = batch_norm1d(
+        out, p[f"{prefix}.1.weight"], p[f"{prefix}.1.bias"],
+        s[f"{prefix}.1.running_mean"], s[f"{prefix}.1.running_var"], train=train,
+    )
+    if train:
+        updates[f"{prefix}.1.running_mean"] = m
+        updates[f"{prefix}.1.running_var"] = v
+        updates[f"{prefix}.1.num_batches_tracked"] = s[f"{prefix}.1.num_batches_tracked"] + 1
+    out = jnp.maximum(out, 0)
+    out = conv1d(out, p[f"{prefix}.3.weight"], p[f"{prefix}.3.bias"], padding=1)
+    out, m, v = batch_norm1d(
+        out, p[f"{prefix}.4.weight"], p[f"{prefix}.4.bias"],
+        s[f"{prefix}.4.running_mean"], s[f"{prefix}.4.running_var"], train=train,
+    )
+    if train:
+        updates[f"{prefix}.4.running_mean"] = m
+        updates[f"{prefix}.4.running_var"] = v
+        updates[f"{prefix}.4.num_batches_tracked"] = s[f"{prefix}.4.num_batches_tracked"] + 1
+    out = jnp.maximum(out, 0)
+    return out, updates
