@@ -105,6 +105,13 @@ def _check_type(old: Any, new: Any, path: str) -> Any:
     coerce = _COERCIONS.get((type(new), type(old)))
     if coerce is not None:
         return coerce(new)
+    # PyYAML (YAML 1.1) parses bare scientific notation like `1e-1` as a
+    # string; the reference's shipped configs rely on it meaning a float.
+    if isinstance(old, (int, float)) and isinstance(new, str):
+        try:
+            return type(old)(float(new))
+        except ValueError:
+            pass
     # bool is an int subclass in Python; require exact match for bools.
     raise TypeError(
         f"type mismatch at {path}: have {type(old).__name__}, got {type(new).__name__}"

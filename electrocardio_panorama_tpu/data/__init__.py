@@ -1,0 +1,69 @@
+"""Dataset factory (reference codes/dataset/__init__.py:5-16)."""
+
+from electrocardio_panorama_tpu.data.beats import beat_rois, build_meta
+from electrocardio_panorama_tpu.data.leads import (
+    LEAD_NAMES,
+    LEAD_THETA,
+    derive_augmented_leads,
+    lead_partition,
+    partition_sizes,
+)
+from electrocardio_panorama_tpu.data.pipeline import BeatLoader, collate
+from electrocardio_panorama_tpu.data.ptb import PTBBeatDataset, reorder_ptb_leads
+from electrocardio_panorama_tpu.data.synthetic import (
+    generate_ptb_dataset,
+    generate_tianchi_dataset,
+)
+from electrocardio_panorama_tpu.data.tianchi import TianchiBeatDataset
+
+__all__ = [
+    "build_dataset",
+    "BeatLoader",
+    "collate",
+    "TianchiBeatDataset",
+    "PTBBeatDataset",
+    "LEAD_THETA",
+    "LEAD_NAMES",
+    "lead_partition",
+    "partition_sizes",
+    "derive_augmented_leads",
+    "reorder_ptb_leads",
+    "beat_rois",
+    "build_meta",
+    "generate_tianchi_dataset",
+    "generate_ptb_dataset",
+]
+
+
+def build_dataset(cfg, phase: str):
+    if cfg.DATA.dataset == "tianchi":
+        return TianchiBeatDataset(cfg, phase)
+    if cfg.DATA.dataset == "ptbv2":
+        # path patching parity (reference dataset/__init__.py:8-14)
+        cfg.DATA.train_pkl_path = "data/ptb/ptb_pkl_data/train_ptb.pkl"
+        cfg.DATA.test_pkl_path = "data/ptb/ptb_pkl_data/test_ptb.pkl"
+        cfg.DATA.train_label_path = "data/ptb/ptb_train.txt"
+        cfg.DATA.test_label_path = "data/ptb/ptb_test.txt"
+        cfg.DATA.train_data_root = "data/ptb/ptb-diag_preprocess"
+        return PTBBeatDataset(cfg, phase)
+    if cfg.DATA.dataset == "synthetic":
+        # self-contained synthetic corpus generated under output_dir
+        import os
+
+        root = getattr(cfg.DATA, "synthetic_root", None) or cfg.output_dir + "/synthetic_data"
+        marker = f"{root}/tianchi_train_jsons.txt"
+        if not os.path.exists(marker):
+            from electrocardio_panorama_tpu.data.synthetic import generate_tianchi_dataset
+
+            overrides = generate_tianchi_dataset(root)
+        else:
+            overrides = {
+                "train_label_path": f"{root}/tianchi_train_jsons.txt",
+                "test_label_path": f"{root}/tianchi_test_jsons.txt",
+                "train_data_root": f"{root}/npy_data/tianchi_train_round1",
+                "train_label_root": f"{root}/tianchi_interval",
+            }
+        for k, v in overrides.items():
+            cfg.DATA[k] = v
+        return TianchiBeatDataset(cfg, phase)
+    raise NotImplementedError(f"{cfg.DATA.dataset} is not supported")

@@ -1,0 +1,97 @@
+"""Host-side batching pipeline.
+
+Replaces torch DataLoader (reference train_net.py:22-28: batch 32, shuffle,
+drop_last, worker processes). TPU-side differences:
+
+  * fixed-shape numpy batches (jit re-traces are shape-keyed; every batch of a
+    given config has identical shapes);
+  * deterministic per-(epoch, position) RNG streams — reproducible epochs
+    without global RNG state (the reference entangles three RNGs,
+    utils/seed_torch.py:7-17);
+  * optional thread-pool prefetch (dataset __getitem__ is pure numpy; threads
+    avoid torch's worker-process + file_system sharing machinery, main.py:8).
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+_STACK_KEYS = (
+    "data", "rois", "input_theta", "target_view", "target_theta",
+    "ori_data", "rest_view", "rest_theta", "noise",
+)
+
+
+def collate(metas: list[dict]) -> dict:
+    batch = {k: np.stack([m[k] for m in metas]) for k in _STACK_KEYS if k in metas[0]}
+    batch["id"] = [m.get("id", "") for m in metas]
+    batch["unsupervision_lead_name"] = metas[0].get("unsupervision_lead_name", [])
+    return batch
+
+
+class BeatLoader:
+    """Iterable of collated batches with drop_last semantics (train_net.py:27-28)."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 32,
+        *,
+        shuffle: bool = False,
+        drop_last: bool = True,
+        seed: int = 0,
+        num_threads: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_threads = num_threads
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return max(n, 0)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _example(self, index: int, position: int):
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, self.epoch, position])
+        )
+        return self.dataset.__getitem__(index, rng=rng)
+
+    def __iter__(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(
+                np.random.SeedSequence([self.seed, self.epoch, 0xE90C])
+            ).shuffle(order)
+        n_full = len(self.dataset) // self.batch_size
+        ends = n_full * self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            ends = len(self.dataset)
+
+        def fetch(span):
+            lo, hi = span
+            idxs = order[lo:hi]
+            if self.num_threads > 1:
+                with ThreadPoolExecutor(self.num_threads) as pool:
+                    metas = list(pool.map(lambda t: self._example(int(t[1]), lo + t[0]), enumerate(idxs)))
+            else:
+                metas = [self._example(int(ix), lo + off) for off, ix in enumerate(idxs)]
+            return collate(metas)
+
+        spans = [
+            (b * self.batch_size, min((b + 1) * self.batch_size, ends))
+            for b in range((ends + self.batch_size - 1) // self.batch_size)
+        ]
+        for span in spans:
+            yield fetch(span)
+        self.epoch += 1

@@ -1,0 +1,43 @@
+"""Training entry point.
+
+Usage (reference README.md:32 parity):
+    python -m electrocardio_panorama_tpu.main --config-file configs/nef_net.yml
+Optional trailing overrides: `SOLVER.epochs 3 TPU.steps_per_epoch 2`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from electrocardio_panorama_tpu.cli import base_parser, cfg_from_args
+from electrocardio_panorama_tpu.data import BeatLoader, build_dataset
+from electrocardio_panorama_tpu.training.solver import Solver
+from electrocardio_panorama_tpu.utils import seed_everything
+
+
+def main(cfg):
+    seed_everything(cfg.seed)
+    output_dir = os.path.join(cfg.output_dir, cfg.desc)
+    os.makedirs(output_dir, exist_ok=True)
+
+    train_ds = build_dataset(cfg, phase="train")
+    test_ds = build_dataset(cfg, phase="test")
+    # reference DataLoader recipe: batch 32, shuffle train, drop_last
+    # (train_net.py:22-28)
+    train_dl = BeatLoader(
+        train_ds, cfg.DATA.batch_size, shuffle=True, drop_last=True,
+        seed=cfg.seed, num_threads=cfg.DATA.num_workers,
+    )
+    test_dl = BeatLoader(
+        test_ds, cfg.DATA.batch_size, shuffle=False, drop_last=True,
+        seed=cfg.seed + 1, num_threads=cfg.DATA.num_workers,
+    )
+    solver = Solver(cfg)
+    solver.train(train_dl, test_dl)
+
+
+if __name__ == "__main__":
+    args = base_parser("ecg generation").parse_args()
+    cfg = cfg_from_args(args)
+    print("Using config: ", cfg)
+    main(cfg)

@@ -92,13 +92,14 @@ def model_block(p: dict, prefix: str, x, *, groups: int, rng, train: bool):
     return jnp.maximum(out + residual, 0)
 
 
-def double_conv(p: dict, s: dict, prefix: str, x, *, train: bool):
+def double_conv(p: dict, s: dict, prefix: str, x, *, train: bool, bn_axis: str | None = None):
     """Returns (out, state_updates) — state_updates holds new BN running stats."""
     updates = {}
     out = conv1d(x, p[f"{prefix}.0.weight"], p[f"{prefix}.0.bias"], padding=1)
     out, m, v = batch_norm1d(
         out, p[f"{prefix}.1.weight"], p[f"{prefix}.1.bias"],
         s[f"{prefix}.1.running_mean"], s[f"{prefix}.1.running_var"], train=train,
+        axis_name=bn_axis,
     )
     if train:
         updates[f"{prefix}.1.running_mean"] = m
@@ -109,6 +110,7 @@ def double_conv(p: dict, s: dict, prefix: str, x, *, train: bool):
     out, m, v = batch_norm1d(
         out, p[f"{prefix}.4.weight"], p[f"{prefix}.4.bias"],
         s[f"{prefix}.4.running_mean"], s[f"{prefix}.4.running_var"], train=train,
+        axis_name=bn_axis,
     )
     if train:
         updates[f"{prefix}.4.running_mean"] = m

@@ -66,5 +66,5 @@ def bn_init(ch: int, dtype=jnp.float32):
     }, {
         "running_mean": jnp.zeros((ch,), dtype),
         "running_var": jnp.ones((ch,), dtype),
-        "num_batches_tracked": jnp.zeros((), jnp.int64),
+        "num_batches_tracked": jnp.zeros((), jnp.int32),
     }

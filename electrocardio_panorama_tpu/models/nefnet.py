@@ -113,25 +113,26 @@ def init_nefnet(rng, *, lead_num: int, theta_encoder_len: int = 1, dtype=jnp.flo
 
 
 # -------------------------------------------------------------------- decoder
-def decoder_apply(p: dict, s: dict, x, *, train: bool):
+def decoder_apply(p: dict, s: dict, x, *, train: bool, bn_axis: str | None = None):
     """Upsample->DoubleConv(256,128)->Upsample->DoubleConv(128,64)->Conv(64,1).
 
     x: [N, 256, 128] -> [N, 1, 512] logits (pre-sigmoid). Returns (out, updates).
+    `bn_axis` enables psum-synced BN batch stats under data parallelism.
     """
     updates = {}
     h = upsample_linear_x2(x)
-    h, u = double_conv(p, s, "decoder.1.double_conv", h, train=train)
+    h, u = double_conv(p, s, "decoder.1.double_conv", h, train=train, bn_axis=bn_axis)
     updates.update(u)
     h = upsample_linear_x2(h)
-    h, u = double_conv(p, s, "decoder.3.double_conv", h, train=train)
+    h, u = double_conv(p, s, "decoder.3.double_conv", h, train=train, bn_axis=bn_axis)
     updates.update(u)
     h = conv1d(h, p["decoder.4.weight"], p["decoder.4.bias"], padding=1)
     return h, updates
 
 
-def _decode(p, s, latent, gate, *, train):
+def _decode(p, s, latent, gate, *, train, bn_axis=None):
     """sigmoid(decoder(gate [N,256] x latent [N,256,128]) / 3)  (model_nefnet.py:166-168)."""
-    out, updates = decoder_apply(p, s, gate[:, :, None] * latent, train=train)
+    out, updates = decoder_apply(p, s, gate[:, :, None] * latent, train=train, bn_axis=bn_axis)
     return jax.nn.sigmoid(out / 3.0), updates
 
 
@@ -228,6 +229,7 @@ def nefnet_apply(
     phase: str = "train",
     rng=None,
     shuffle_idx=None,
+    bn_axis: str | None = None,
 ):
     """Full forward, reference-parity (model_nefnet.py:109-194).
 
@@ -279,11 +281,11 @@ def nefnet_apply(
         # Three sequential decodes: BN batch stats + running-stat update order
         # must match the reference's three separate calls.
         new_s = dict(s)
-        out, u = _decode(p, new_s, lat.latent_all, gate_q, train=True)
+        out, u = _decode(p, new_s, lat.latent_all, gate_q, train=True, bn_axis=bn_axis)
         new_s.update(u)
-        shuffle_p, u = _decode(p, new_s, shuffle_patient_all, gate_q, train=True)
+        shuffle_p, u = _decode(p, new_s, shuffle_patient_all, gate_q, train=True, bn_axis=bn_axis)
         new_s.update(u)
-        shuffle_l, u = _decode(p, new_s, shuffle_lead_all, gate_q, train=True)
+        shuffle_l, u = _decode(p, new_s, shuffle_lead_all, gate_q, train=True, bn_axis=bn_axis)
         new_s.update(u)
         return (out, shuffle_p, shuffle_l), new_s
 

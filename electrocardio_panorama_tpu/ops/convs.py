@@ -128,17 +128,29 @@ def batch_norm1d(
     train: bool,
     momentum: float = 0.1,
     eps: float = 1e-5,
+    axis_name: str | None = None,
 ):
     """torch BatchNorm1d parity on [B, C, L].
 
     Train: normalize with biased batch statistics over (B, L); update running
     stats with the unbiased variance (torch semantics). Eval: running stats.
     Returns (out, new_running_mean, new_running_var).
+
+    Under data parallelism (`axis_name` set inside shard_map/pmap), batch
+    statistics are psum-synced across shards so sharded training normalizes by
+    the FULL-batch statistics — the sync-BN policy for dp training
+    (SURVEY.md section 7, hard part 6).
     """
     if train:
-        mean = jnp.mean(x, axis=(0, 2))
-        var = jnp.var(x, axis=(0, 2))  # biased, used for normalization
         n = x.shape[0] * x.shape[2]
+        if axis_name is not None:
+            mean = lax.pmean(jnp.mean(x, axis=(0, 2)), axis_name)
+            sq = lax.pmean(jnp.mean(jnp.square(x), axis=(0, 2)), axis_name)
+            var = sq - jnp.square(mean)
+            n = n * lax.psum(1, axis_name)
+        else:
+            mean = jnp.mean(x, axis=(0, 2))
+            var = jnp.var(x, axis=(0, 2))  # biased, used for normalization
         unbiased = var * n / max(n - 1, 1)
         new_mean = (1 - momentum) * running_mean + momentum * mean
         new_var = (1 - momentum) * running_var + momentum * unbiased

@@ -1,0 +1,21 @@
+from electrocardio_panorama_tpu.parallel.mesh import (
+    batch_sharded,
+    make_mesh,
+    put_batch,
+    put_replicated,
+    replicated,
+)
+from electrocardio_panorama_tpu.parallel.sharding import (
+    build_dp_train_step,
+    build_sharded_panorama,
+)
+
+__all__ = [
+    "make_mesh",
+    "replicated",
+    "batch_sharded",
+    "put_replicated",
+    "put_batch",
+    "build_dp_train_step",
+    "build_sharded_panorama",
+]

@@ -1,0 +1,102 @@
+"""Sharded execution: shard_map data-parallel training and view-sharded
+panorama rendering.
+
+Training (dp): params/opt-state replicated, batch sharded on the `data` axis.
+Each shard computes its local loss/grads; gradients and loss pmean over the
+axis (the explicit-collective replacement for DataParallel's implicit gradient
+reduction); decoder BatchNorm batch-statistics psum-sync via the model's
+`bn_axis` hook so sharded training normalizes with full-batch statistics.
+
+Panorama (sp over views): the dense viewpoint sweep shards on the `view` axis —
+every device decodes a slice of the viewpoints from the (replicated) latent;
+outputs concatenate along the view axis. No collectives in the math: views are
+independent after encoding (SURVEY.md section 5, long-context equivalent).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from electrocardio_panorama_tpu.models.losses import l1, mse, standin_l1
+
+
+def build_dp_train_step(model_def, cfg, tx, mesh: Mesh, axis: str = "data"):
+    """Jitted shard_map train step. Batch arrays must be sharded on `axis`
+    (leading dim divisible by the axis size); params/opt replicated."""
+    use_noise = bool(cfg.DATA.noise)
+    reg = {"l2_loss": mse, "l1_loss": l1}[cfg.SOLVER.reg_loss]
+    f = cfg.SOLVER.loss_factor
+    using = cfg.SOLVER.loss_using
+
+    def local_step(params, bn_state, opt_state, rng, i1, i2,
+                   data, input_theta, target_theta, rois, target_view, noise):
+        # decorrelate dropout across shards
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
+        def loss_fn(p):
+            (out, sp, sl), new_bn = model_def.apply(
+                p, bn_state, data, input_theta, target_theta, rois,
+                phase="train", rng=rng, shuffle_idx=(i1, i2), bn_axis=axis,
+            )
+            if use_noise:
+                out = out + noise[:, None, :]
+            tv = target_view[:, None, :]
+            lo1 = standin_l1(out, sp) if 1 in using else 0.0
+            lo2 = standin_l1(out, sl) if 2 in using else 0.0
+            lo3 = reg(out, tv) if 3 in using else 0.0
+            loss = lo1 * f[0] + lo2 * f[1] + lo3 * f[2]
+            return loss, (lo1, lo2, lo3, new_bn)
+
+        (loss, (lo1, lo2, lo3, new_bn)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        grads = jax.lax.pmean(grads, axis)
+        loss_vec = jax.lax.pmean(
+            jnp.stack([loss, jnp.asarray(lo1), jnp.asarray(lo2), jnp.asarray(lo3)]), axis
+        )
+        updates, new_opt = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        # bn running stats already psum-synced inside batch_norm1d (bn_axis)
+        return params, new_bn, new_opt, loss_vec
+
+    rep = P()
+    sh = P(axis)
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, rep, rep, rep, sh, sh, sh, sh, sh, sh),
+        out_specs=(rep, rep, rep, rep),
+        check_vma=False,
+    )
+    return jax.jit(step, donate_argnums=(0, 1, 2))
+
+
+def build_sharded_panorama(model_def, mesh: Mesh, *, data_axis: str = "data",
+                           view_axis: str = "view"):
+    """Encode on the data axis, decode with views sharded on the view axis.
+
+    Returns render(params, bn_state, data, input_theta, rois, views) -> [B, V, 512]
+    where `views` is [V, 2] broadcast to the batch; B divides the data-axis
+    size and V divides the view-axis size.
+    """
+
+    def local_render(params, bn_state, data, input_theta, rois, views):
+        latent = model_def.encode(params, data, input_theta, rois).latent_all
+        # every view shard decodes its slice from the local batch shard
+        v = jnp.broadcast_to(views[None], (latent.shape[0], *views.shape))
+        return model_def.decode_views(params, bn_state, latent, v)
+
+    rep = P()
+    render = jax.shard_map(
+        local_render,
+        mesh=mesh,
+        in_specs=(rep, rep, P(data_axis), P(data_axis), P(data_axis), P(view_axis)),
+        out_specs=P(data_axis, view_axis),
+        check_vma=False,
+    )
+    return jax.jit(render)

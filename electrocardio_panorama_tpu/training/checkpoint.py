@@ -1,0 +1,111 @@
+"""Checkpointing with the reference CheckPointer's exact file semantics
+(utils/checkpointer.py:18-98):
+
+  * save(name, **extras) -> {save_dir}/{name}.pkl + pointer file
+    `last_checkpoint` containing the path;
+  * load(): explicit path -> `last_checkpoint` pointer -> best_valid.pkl;
+  * extras (epoch, psnr_gen, best_test_psnr_gen, ...) round-trip for resume
+    (solver.py:50-58).
+
+Contents are JAX pytrees (flat torch-keyed param/state dicts + optax state)
+pickled as numpy. `load` transparently accepts reference PyTorch .pkl
+checkpoints (torch.save format) via the torch importer, so reference-trained
+weights drop straight in.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _to_numpy(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def _to_jax(tree):
+    return jax.tree.map(lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, tree)
+
+
+class CheckPointer:
+    def __init__(self, save_dir: str | None):
+        self.save_dir = save_dir
+        if save_dir:
+            os.makedirs(save_dir, exist_ok=True)
+
+    # ------------------------------------------------------------------ save
+    def save(self, name: str, *, params, bn_state, opt_state=None, **extras) -> str | None:
+        if self.save_dir is None:
+            return None
+        payload = {
+            "model": _to_numpy(params),
+            "bn_state": _to_numpy(bn_state),
+        }
+        if opt_state is not None:
+            payload["optimizer"] = _to_numpy(opt_state)
+        payload.update(extras)
+        path = os.path.join(self.save_dir, f"{name}.pkl")
+        with open(path, "wb") as f:
+            pickle.dump(payload, f, pickle.HIGHEST_PROTOCOL)
+        with open(os.path.join(self.save_dir, "last_checkpoint"), "w") as f:
+            f.write(path)
+        return path
+
+    # ------------------------------------------------------------------ load
+    def has_checkpoint(self) -> bool:
+        return self.save_dir is not None and os.path.exists(
+            os.path.join(self.save_dir, "last_checkpoint")
+        )
+
+    def resolve(self, resume: str | None = None, best_valid: bool = False) -> str | None:
+        if resume:
+            return resume
+        if not self.save_dir:
+            return None
+        if best_valid:
+            path = os.path.join(self.save_dir, "best_valid.pkl")
+            return path if os.path.exists(path) else None
+        ptr = os.path.join(self.save_dir, "last_checkpoint")
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                return f.read().strip()
+        return None
+
+    def load(self, resume: str | None = None, best_valid: bool = False):
+        """Returns (params, bn_state, opt_state, extras) or None if nothing to load."""
+        path = self.resolve(resume, best_valid)
+        if path is None or not os.path.exists(path):
+            return None
+        try:
+            with open(path, "rb") as f:
+                payload = pickle.load(f)
+            if not isinstance(payload, dict) or "model" not in payload:
+                raise ValueError("not a framework checkpoint")
+            native = isinstance(payload["model"], dict) and not _looks_like_torch(payload["model"])
+        except Exception:
+            native = False
+        if not native:
+            # reference PyTorch checkpoint (torch.save .pkl)
+            from electrocardio_panorama_tpu.training.torch_import import import_torch_pkl
+
+            params, bn_state, extras = import_torch_pkl(path)
+            return params, bn_state, None, extras
+        params = _to_jax(payload.pop("model"))
+        bn_state = _to_jax(payload.pop("bn_state", {}))
+        opt_state = payload.pop("optimizer", None)
+        if opt_state is not None:
+            opt_state = _to_jax(opt_state)
+        return params, bn_state, opt_state, payload
+
+
+def _looks_like_torch(model_dict) -> bool:
+    try:
+        import torch
+
+        return any(isinstance(v, torch.Tensor) for v in model_dict.values())
+    except ImportError:
+        return False

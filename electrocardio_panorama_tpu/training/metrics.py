@@ -1,0 +1,91 @@
+"""Evaluation metrics: PSNR and SSIM with reference parity.
+
+PSNR (reference utils/mertic.py:7-21): per-(sample, lead) RMSE over the
+real-signal region [0 : rois[i, -1, 0]], 20*log10(1/rmse), 100 if rmse == 0,
+averaged over all (sample, lead) pairs.
+
+SSIM (utils/mertic.py:24-32): skimage.metrics.structural_similarity on the same
+region with data_range=1.0 — i.e. 1-D SSIM, win_size=7, uniform filter,
+K1=0.01/K2=0.03, borders cropped by (win-1)//2, sample covariance normalization
+N/(N-1). skimage is unavailable here, so `ssim_1d` implements that exact
+algorithm via scipy.ndimage.uniform_filter (boundary mode is irrelevant after
+the crop).
+
+Masked JAX variants (`psnr_masked`) run on-device inside the eval step so the
+metric does not force a host round-trip per batch; the numpy versions are the
+reference-parity oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.ndimage import uniform_filter
+
+import jax.numpy as jnp
+
+_WIN = 7
+_K1, _K2 = 0.01, 0.03
+
+
+def psnr(pred: np.ndarray, gt: np.ndarray, rois: np.ndarray | None = None) -> float:
+    """pred/gt: [B, L, T]; rois: [B, 7, 2] or None (full length)."""
+    vals = []
+    for i in range(pred.shape[0]):
+        end = int(rois[i, -1, 0]) if rois is not None else pred.shape[2]
+        for j in range(pred.shape[1]):
+            diff = pred[i, j, :end] - gt[i, j, :end]
+            rmse = float(np.sqrt(np.mean(diff**2)))
+            vals.append(100.0 if rmse == 0 else 20 * np.log10(1.0 / rmse))
+    return float(np.mean(vals))
+
+
+def ssim_1d(x: np.ndarray, y: np.ndarray, data_range: float = 1.0) -> float:
+    """skimage structural_similarity parity for 1-D float inputs."""
+    x = x.astype(np.float64)
+    y = y.astype(np.float64)
+    npts = _WIN
+    cov_norm = npts / (npts - 1)
+    ux = uniform_filter(x, _WIN)
+    uy = uniform_filter(y, _WIN)
+    uxx = uniform_filter(x * x, _WIN)
+    uyy = uniform_filter(y * y, _WIN)
+    uxy = uniform_filter(x * y, _WIN)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    c1 = (_K1 * data_range) ** 2
+    c2 = (_K2 * data_range) ** 2
+    a1 = 2 * ux * uy + c1
+    a2 = 2 * vxy + c2
+    b1 = ux**2 + uy**2 + c1
+    b2 = vx + vy + c2
+    s = (a1 * a2) / (b1 * b2)
+    pad = (_WIN - 1) // 2
+    return float(s[pad:-pad].mean())
+
+
+def ssim(pred: np.ndarray, gt: np.ndarray, rois: np.ndarray | None = None) -> float:
+    """Reference SSIM wrapper (mertic.py:24-32): mean over (sample, lead)."""
+    vals = []
+    for i in range(pred.shape[0]):
+        end = int(rois[i, -1, 0]) if rois is not None else pred.shape[2]
+        for j in range(pred.shape[1]):
+            vals.append(ssim_1d(pred[i, j, :end], gt[i, j, :end], data_range=1.0))
+    return float(np.mean(vals))
+
+
+# --------------------------------------------------------------- jax variants
+def psnr_masked(pred: jnp.ndarray, gt: jnp.ndarray, rois: jnp.ndarray) -> jnp.ndarray:
+    """On-device PSNR over [0 : rois[:, -1, 0]] — same mean-of-per-lead values.
+
+    pred/gt: [B, L, T]; returns a scalar. rmse==0 maps to 100 like the
+    reference (mertic.py:16-17).
+    """
+    B, L, T = pred.shape
+    end = jnp.minimum(rois[:, -1, 0], T)  # [B]; clamp supports full-length sentinels
+    mask = (jnp.arange(T)[None, :] < end[:, None]).astype(pred.dtype)  # [B, T]
+    diff2 = jnp.square(pred - gt) * mask[:, None, :]
+    mse = diff2.sum(axis=2) / jnp.maximum(end[:, None], 1).astype(pred.dtype)  # [B, L]
+    rmse = jnp.sqrt(mse)
+    vals = jnp.where(rmse == 0, 100.0, 20 * jnp.log10(1.0 / jnp.maximum(rmse, 1e-30)))
+    return vals.mean()

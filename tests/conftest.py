@@ -11,6 +11,13 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The axon sitecustomize pre-registers the TPU backend and pins
+# jax_platforms="axon,cpu" regardless of the env var; force CPU before any
+# backend initializes so the suite runs on the 8-device virtual mesh.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,113 @@
+"""Training runtime: jitted step, checkpoint round-trip, resume, LR schedule."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+
+from electrocardio_panorama_tpu.config import get_cfg
+from electrocardio_panorama_tpu.data import BeatLoader, build_dataset
+from electrocardio_panorama_tpu.training import CheckPointer, lr_for_epoch
+from electrocardio_panorama_tpu.training.solver import Solver, gen_lead_count
+
+
+@pytest.fixture(scope="module")
+def cfg(tmp_path_factory):
+    cfg = get_cfg()
+    cfg.desc = "smoke"
+    cfg.DATA.dataset = "synthetic"
+    cfg.DATA.lead_num = 3
+    cfg.DATA.super_mode = "IIv2v5_v4I_372"
+    cfg.DATA.train_data_mode = "input_fix"
+    cfg.DATA.batch_size = 4
+    cfg.MODEL.model = "model_nefnet"
+    cfg.MODEL.jitter_factor = 2.5
+    cfg.SOLVER.epochs = 2
+    cfg.SOLVER.lr = 0.05
+    cfg.SOLVER.scheduler = "MultiStep"
+    cfg.SOLVER.lr_step = [50, 100]
+    cfg.SOLVER.loss_factor = [0.5, 0.5, 1]
+    cfg.TPU.steps_per_epoch = 2
+    cfg.DATA.synthetic_root = str(tmp_path_factory.mktemp("synth"))
+    cfg.output_dir = str(tmp_path_factory.mktemp("out"))
+    return cfg
+
+
+def test_lr_schedule(cfg):
+    assert lr_for_epoch(cfg, 0) == pytest.approx(0.05)
+    assert lr_for_epoch(cfg, 50) == pytest.approx(0.005)
+    assert lr_for_epoch(cfg, 100) == pytest.approx(0.0005)
+    c2 = get_cfg()
+    c2.SOLVER.lr = 1.0
+    c2.SOLVER.scheduler = "steplr"
+    assert lr_for_epoch(c2, 49) == pytest.approx(1.0)
+    assert lr_for_epoch(c2, 51) == pytest.approx(0.1)
+
+
+def test_gen_lead_count(cfg):
+    assert gen_lead_count(cfg) == 2  # 'IIv2v5_v4I_372' ends in 2
+    c = get_cfg()
+    assert gen_lead_count(c) == 4  # 'normal'
+
+
+def test_train_two_epochs_and_resume(cfg):
+    train_ds = build_dataset(cfg, "train")
+    test_ds = build_dataset(cfg, "test")
+    dl_tr = BeatLoader(train_ds, cfg.DATA.batch_size, shuffle=True, drop_last=True, seed=1)
+    dl_te = BeatLoader(test_ds, cfg.DATA.batch_size, shuffle=False, drop_last=True, seed=2)
+
+    solver = Solver(cfg, use_writer=False)
+    params, bn_state = solver.train(dl_tr, dl_te)
+    assert all(np.isfinite(np.asarray(v)).all() for v in jax.tree.leaves(params))
+
+    out_dir = os.path.join(cfg.output_dir, cfg.desc)
+    assert os.path.exists(os.path.join(out_dir, "epoch_1.pkl"))
+    assert os.path.exists(os.path.join(out_dir, "last_checkpoint"))
+    assert os.path.exists(os.path.join(out_dir, "best_valid.pkl"))
+
+    # resume: third epoch picks up at epoch 2
+    cfg.SOLVER.epochs = 3
+    solver2 = Solver(cfg, use_writer=False)
+    ckpt = CheckPointer(out_dir)
+    loaded = ckpt.load()
+    assert loaded is not None
+    _, _, _, extras = loaded
+    assert extras["epoch"] == 1
+    solver2.train(dl_tr, dl_te)
+    assert os.path.exists(os.path.join(out_dir, "epoch_2.pkl"))
+
+    # val: loads best checkpoint and reports the four metrics
+    m = solver2.val(dl_te, epoch=-1)
+    assert np.isfinite(m["psnr_gen"]) and np.isfinite(m["ssim_gen"])
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    ckpt = CheckPointer(str(tmp_path))
+    params = {"a.weight": jnp.ones((3, 3)), "b.bias": jnp.zeros((5,))}
+    state = {"bn.running_mean": jnp.full((4,), 2.0)}
+    ckpt.save("epoch_0", params=params, bn_state=state, epoch=0, psnr_gen=11.5)
+    loaded = ckpt.load()
+    p2, s2, opt2, extras = loaded
+    np.testing.assert_array_equal(np.asarray(p2["a.weight"]), np.ones((3, 3)))
+    np.testing.assert_array_equal(np.asarray(s2["bn.running_mean"]), np.full((4,), 2.0))
+    assert extras["epoch"] == 0 and extras["psnr_gen"] == 11.5
+
+
+def test_checkpoint_loads_reference_torch_pkl(tmp_path):
+    """The reference's torch.save .pkl checkpoints load transparently."""
+    import torch
+
+    sd = {
+        "mlp1.weight": torch.randn(128, 12),
+        "decoder.1.double_conv.1.running_mean": torch.zeros(128),
+    }
+    torch.save({"model": sd, "epoch": 7}, str(tmp_path / "best_valid.pkl"))
+    ckpt = CheckPointer(str(tmp_path))
+    loaded = ckpt.load(best_valid=True)
+    params, state, opt, extras = loaded
+    assert "mlp1.weight" in params
+    assert "decoder.1.double_conv.1.running_mean" in state
+    assert extras["epoch"] == 7
