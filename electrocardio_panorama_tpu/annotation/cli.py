@@ -1,0 +1,88 @@
+"""Annotation CLI: headless replacement for the reference's PyQt5 tool.
+
+    python -m electrocardio_panorama_tpu.annotation.cli segment REC.npy|REC.txt
+        -> writes REC.json (six-key breakpoint schema) via auto-segmentation
+    python -m electrocardio_panorama_tpu.annotation.cli validate LABEL.json [--record REC.npy]
+        -> schema + ordering validation
+    python -m electrocardio_panorama_tpu.annotation.cli show LABEL.json
+        -> per-beat segment table
+
+The GUI workflow (plot leads, keys 1-6 mark breakpoints, save JSON —
+AnnotationTools/window.py:93-104,221-259) maps to: auto-segment, inspect with
+`show`, hand-edit the JSON, re-`validate`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from electrocardio_panorama_tpu.annotation import (
+    BREAKPOINT_KEYS,
+    auto_segment,
+    beats_in,
+    load_breakpoints,
+    read_ecg_txt,
+    save_breakpoints,
+    validate_breakpoints,
+)
+
+
+def _load_record(path: str) -> np.ndarray:
+    if path.endswith(".npy"):
+        return np.load(path)
+    return read_ecg_txt(path)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="ECG breakpoint annotation")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_seg = sub.add_parser("segment", help="auto-segment a record -> JSON")
+    p_seg.add_argument("record")
+    p_seg.add_argument("--out", default=None)
+    p_seg.add_argument("--fs", type=float, default=500.0)
+    p_seg.add_argument("--lead", type=int, default=1, help="lead index for R detection (default II)")
+
+    p_val = sub.add_parser("validate", help="validate a breakpoint JSON")
+    p_val.add_argument("label")
+    p_val.add_argument("--record", default=None)
+
+    p_show = sub.add_parser("show", help="print per-beat segments")
+    p_show.add_argument("label")
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "segment":
+        rec = _load_record(args.record)
+        bp = auto_segment(rec, fs=args.fs, lead=args.lead)
+        out = args.out or os.path.splitext(args.record)[0] + ".json"
+        save_breakpoints(bp, out)
+        print(f"{args.record}: {len(bp['P on'])} beats ({beats_in(bp)} usable) -> {out}")
+        return 0
+
+    if args.cmd == "validate":
+        try:
+            bp = load_breakpoints(args.label)
+            if args.record:
+                rec = _load_record(args.record)
+                validate_breakpoints(bp, record_len=rec.shape[-1])
+        except ValueError as e:
+            print(f"INVALID: {e}")
+            return 1
+        print(f"OK: {len(bp['P on'])} beats, schema valid")
+        return 0
+
+    if args.cmd == "show":
+        bp = load_breakpoints(args.label)
+        print("beat  " + "  ".join(f"{k:>6}" for k in BREAKPOINT_KEYS))
+        for i in range(len(bp["P on"])):
+            print(f"{i:4d}  " + "  ".join(f"{bp[k][i]:6d}" for k in BREAKPOINT_KEYS))
+        return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

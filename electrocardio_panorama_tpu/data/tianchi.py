@@ -69,3 +69,42 @@ class TianchiBeatDataset:
         n = self.num_beats(index)
         beat_index = int(rng.integers(0, n))  # random.sample(range(n), 1) parity
         return self.get_beat(index, beat_index, rng)
+
+
+class TianchiClassificationDataset:
+    """Legacy CSV-driven multi-label classification reader (reference
+    EcgTianChiDataset, tianchi.py:10-43): column 0 is the npy filename, columns
+    3+ are the binary labels; 80/20 train/test split seeded by cfg.seed.
+    Off the Nef-Net path; feeds the full resnet1d classifier."""
+
+    def __init__(self, cfg, phase: str, transform=None):
+        import pandas as pd
+        from sklearn.model_selection import train_test_split
+
+        all_set = pd.read_csv(cfg.DATA.train_label_path)
+        self.label_name = all_set.columns.values[3:]
+        self.data_root = cfg.DATA.train_data_root
+        train_set, test_set = train_test_split(
+            all_set, shuffle=True, test_size=0.2, random_state=cfg.seed
+        )
+        self.dataset = train_set if phase == "train" else test_set
+        self.label = self.dataset.iloc[:, 3:].values.astype(np.int64)
+        self.transform = transform
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def __getitem__(self, index: int, rng=None):
+        path = os.path.join(self.data_root, self.dataset.iloc[index, 0])
+        data = np.load(path).astype(np.float64)
+        if self.transform is not None:
+            data = self.transform(data)
+        return data.astype(np.float32), self.label[index]
+
+    def get_label_weight(self) -> np.ndarray:
+        """Inverse-frequency example weights for WeightedRandomSampler-style
+        sampling (cfg.DATA.weighted_sample, reference train_net.py:22-26)."""
+        freq = self.label.sum(axis=0).astype(np.float64)
+        freq = np.maximum(freq, 1.0)
+        w = (self.label / freq).sum(axis=1)
+        return np.maximum(w, 1e-8)

@@ -51,12 +51,34 @@ class NefNetDef:
         )
 
 
-def build_model(cfg) -> NefNetDef:
-    """Registry parity: only 'model_nefnet' is a registered model
-    (reference network/__init__.py:7-12)."""
+class NefNet2Def:
+    """Bound Nef-Net2 definition (shared single-lead tower)."""
+
+    def __init__(self, lead_num: int, theta_encoder_len: int = 1, dtype=jnp.float32):
+        from electrocardio_panorama_tpu.models.nefnet2 import init_nefnet2, nefnet2_apply
+
+        self.lead_num = lead_num
+        self.theta_encoder_len = theta_encoder_len
+        self.dtype = dtype
+        self.init = partial(
+            init_nefnet2, lead_num=lead_num, theta_encoder_len=theta_encoder_len, dtype=dtype
+        )
+        self.apply = partial(
+            nefnet2_apply, lead_num=lead_num, theta_encoder_len=theta_encoder_len
+        )
+        self.decode_views = partial(decode_views, theta_encoder_len=theta_encoder_len)
+
+
+def build_model(cfg):
+    """Registry: 'model_nefnet' matches the reference registry
+    (network/__init__.py:7-12); 'model_nefnet2' is additionally registered
+    here (the reference defines Model_nefnet2 but never registers it —
+    a deliberate extension)."""
+    dtype = jnp.dtype(cfg.TPU.param_dtype) if "TPU" in cfg else jnp.float32
     if cfg.MODEL.model == "model_nefnet":
-        dtype = jnp.dtype(cfg.TPU.param_dtype) if "TPU" in cfg else jnp.float32
         return NefNetDef(cfg.DATA.lead_num, cfg.MODEL.theta_L, dtype)
+    if cfg.MODEL.model == "model_nefnet2":
+        return NefNet2Def(cfg.DATA.lead_num, cfg.MODEL.theta_L, dtype)
     raise ValueError("build model: model name error")
 
 

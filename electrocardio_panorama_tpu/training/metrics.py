@@ -89,3 +89,42 @@ def psnr_masked(pred: jnp.ndarray, gt: jnp.ndarray, rois: jnp.ndarray) -> jnp.nd
     rmse = jnp.sqrt(mse)
     vals = jnp.where(rmse == 0, 100.0, 20 * jnp.log10(1.0 / jnp.maximum(rmse, 1e-30)))
     return vals.mean()
+
+
+def compute_clf_metrics(pred_probs: np.ndarray, gt_labels: np.ndarray, target_label: int = -1) -> dict:
+    """Classification metric suite parity (reference utils/mertic.py:35-69):
+    per-class PR-AUC, accuracy, per-class precision/recall. pred_probs:
+    [N, n_classes] probabilities; gt_labels: [N] int class ids."""
+    from sklearn.metrics import (
+        accuracy_score,
+        auc,
+        precision_recall_curve,
+        precision_score,
+        recall_score,
+    )
+
+    pr_auc_list = []
+    label_list = np.unique(gt_labels)
+    label_list.sort()
+    target_recall = target_precision = None
+    for label in label_list:
+        gt_bin = np.where(gt_labels == label, 1, 0)
+        probs = pred_probs[:, label]
+        precision, recall, _ = precision_recall_curve(gt_bin, probs)
+        pr_auc_list.append(auc(recall, precision))
+        if label == target_label:
+            target_recall, target_precision = recall, precision
+
+    pred_ids = np.argmax(pred_probs, axis=1)
+    precision = precision_score(gt_labels, pred_ids, average=None, zero_division=0)
+    recall = recall_score(gt_labels, pred_ids, average=None, zero_division=0)
+    result = {
+        "mean_auc": float(np.mean(pr_auc_list)),
+        "acc": float(accuracy_score(gt_labels, pred_ids)),
+        "per_class_auc": [float(a) for a in pr_auc_list],
+        "target_recall_points": target_recall,
+        "target_precision_points": target_precision,
+        "target_recall": float(recall[target_label]) if target_label >= 0 else None,
+        "target_precision": float(precision[target_label]) if target_label >= 0 else None,
+    }
+    return result

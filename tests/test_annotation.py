@@ -1,0 +1,124 @@
+"""Annotation tooling: schema I/O, validation, txt parsing, auto-segmentation,
+CLI — and round-trip into the training dataset."""
+
+import json
+
+import numpy as np
+import pytest
+
+from electrocardio_panorama_tpu.annotation import (
+    BREAKPOINT_KEYS,
+    auto_segment,
+    beats_in,
+    detect_r_peaks,
+    load_breakpoints,
+    read_ecg_txt,
+    save_breakpoints,
+    validate_breakpoints,
+)
+from electrocardio_panorama_tpu.annotation.cli import main as anno_cli
+from electrocardio_panorama_tpu.data.synthetic import synth_record
+
+
+def test_schema_roundtrip(tmp_path):
+    bp = {"P on": [10, 500], "P off": [40, 530], "R on": [100, 590],
+          "R off": [150, 640], "T on": [220, 710], "T off": [300, 790]}
+    path = str(tmp_path / "x.json")
+    save_breakpoints(bp, path)
+    loaded = load_breakpoints(path)
+    assert loaded == bp
+    assert beats_in(bp) == 1
+
+
+@pytest.mark.parametrize("mutate,msg", [
+    (lambda bp: bp.pop("T on"), "missing"),
+    (lambda bp: bp["P on"].append(999), "unequal"),
+    (lambda bp: bp["R on"].__setitem__(0, 5), "out of order"),
+    (lambda bp: bp["P on"].__setitem__(1, 200), "overlap"),
+])
+def test_schema_validation_errors(mutate, msg):
+    bp = {"P on": [10, 500], "P off": [40, 530], "R on": [100, 590],
+          "R off": [150, 640], "T on": [220, 710], "T off": [300, 790]}
+    mutate(bp)
+    with pytest.raises(ValueError, match=msg):
+        validate_breakpoints(bp)
+
+
+def test_read_ecg_txt(tmp_path):
+    path = str(tmp_path / "rec.txt")
+    with open(path, "w") as f:
+        f.write("I II V1 V2 V3 V4 V5 V6\n")
+        for t in range(20):
+            f.write(" ".join(str(t * 8 + i) for i in range(8)) + "\n")
+    rec = read_ecg_txt(path)
+    assert rec.shape == (8, 20)
+    assert rec[0, 0] == 0 and rec[7, 19] == 19 * 8 + 7
+
+
+def test_auto_segment_on_synthetic_record():
+    data, true_bp = synth_record(np.random.default_rng(3), total_len=5000)
+    bp = auto_segment(data, fs=500.0, lead=1)
+    validate_breakpoints(bp, record_len=5000)
+    n_true = len(true_bp["P on"])
+    n_det = len(bp["P on"])
+    # R detection should find most beats
+    assert n_det >= 0.6 * n_true, (n_det, n_true)
+    # detected R windows should straddle true R regions
+    true_r = np.array([(a + b) / 2 for a, b in zip(true_bp["R on"], true_bp["R off"])])
+    hits = 0
+    for r_on, r_off in zip(bp["R on"], bp["R off"]):
+        if ((true_r >= r_on - 40) & (true_r <= r_off + 40)).any():
+            hits += 1
+    assert hits >= 0.8 * n_det
+
+
+def test_detect_r_peaks_count():
+    data, true_bp = synth_record(np.random.default_rng(5), total_len=5000)
+    peaks = detect_r_peaks(data[1], fs=500.0)
+    assert abs(len(peaks) - len(true_bp["R on"])) <= 2
+
+
+def test_cli_segment_validate_show(tmp_path, capsys):
+    data, _ = synth_record(np.random.default_rng(7), total_len=3000)
+    rec_path = str(tmp_path / "rec.npy")
+    np.save(rec_path, data)
+    assert anno_cli(["segment", rec_path]) == 0
+    out_json = str(tmp_path / "rec.json")
+    assert anno_cli(["validate", out_json, "--record", rec_path]) == 0
+    assert anno_cli(["show", out_json]) == 0
+    captured = capsys.readouterr().out
+    assert "OK:" in captured
+
+    # corrupt the json -> validate fails with nonzero exit
+    bp = json.load(open(out_json))
+    bp["R on"][0] = 0
+    json.dump(bp, open(out_json, "w"))
+    assert anno_cli(["validate", out_json]) == 1
+
+
+def test_auto_segmented_record_feeds_dataset(tmp_path):
+    """End-to-end: auto-segment a synthetic record, then train-pipeline consumes it."""
+    from electrocardio_panorama_tpu.config import get_cfg
+    from electrocardio_panorama_tpu.data.tianchi import TianchiBeatDataset
+
+    data, _ = synth_record(np.random.default_rng(11), total_len=5000)
+    npy_dir = tmp_path / "npy"
+    json_dir = tmp_path / "labels"
+    npy_dir.mkdir(), json_dir.mkdir()
+    np.save(str(npy_dir / "r0.npy"), data)
+    bp = auto_segment(data)
+    save_breakpoints(bp, str(json_dir / "r0.json"))
+    (tmp_path / "list.txt").write_text("r0.json\n")
+
+    cfg = get_cfg()
+    cfg.DATA.lead_num = 3
+    cfg.DATA.super_mode = "IIv2v5_v4I_372"
+    cfg.DATA.train_data_mode = "input_fix"
+    cfg.DATA.train_label_path = str(tmp_path / "list.txt")
+    cfg.DATA.test_label_path = str(tmp_path / "list.txt")
+    cfg.DATA.train_data_root = str(npy_dir)
+    cfg.DATA.train_label_root = str(json_dir)
+    ds = TianchiBeatDataset(cfg, "train")
+    meta = ds.__getitem__(0, rng=np.random.default_rng(0))
+    assert meta["data"].shape == (3, 512)
+    assert meta["rois"][0, 0] == 0 and meta["rois"][-1, 1] == 512

@@ -122,6 +122,68 @@ def record(lead_num: int, batch: int = 4, n_rest: int = 9, seed: int = 0):
     print(f"wrote {path} ({len(data)} arrays)")
 
 
+
+
+def record_nefnet2(lead_num: int = 3, batch: int = 2, n_rest: int = 5, seed: int = 0):
+    """Goldens for the Nef-Net2 variant (eval path): validates the
+    lead-into-batch fold against the reference's per-lead Python loop."""
+    import network.model_nefnet2 as mn2
+
+    torch.manual_seed(seed)
+    rng = np.random.default_rng(seed)
+    model = mn2.Model_nefnet2(theta_encoder_len=1, lead_num=lead_num).float()
+
+    x = rng.standard_normal((batch, lead_num, 512)).astype(np.float32)
+    input_thetas = rng.uniform(-np.pi, np.pi, (batch, lead_num, 2)).astype(np.float32)
+    query_theta = rng.uniform(-np.pi, np.pi, (batch, 2)).astype(np.float32)
+    rest_theta = rng.uniform(-np.pi, np.pi, (batch, n_rest, 2)).astype(np.float32)
+    rois = make_rois(rng, batch)
+
+    idx = shuffle_idx_for(lead_num)
+    counter = {"n": 0}
+
+    def pinned(_a, _b):
+        v = idx[counter["n"] % 2]
+        counter["n"] += 1
+        return v
+
+    orig = mn2.random.randint
+    mn2.random.randint = pinned
+
+    data = {
+        "x": x, "input_thetas": input_thetas, "query_theta": query_theta,
+        "rest_theta": rest_theta, "rois": rois, "shuffle_idx": np.array(idx),
+    }
+    for k, v in model.state_dict().items():
+        data[f"param::{k}"] = v.numpy().copy()
+
+    model.eval()
+    with torch.no_grad():
+        out, sp, sl, rest = model(
+            torch.tensor(x), torch.tensor(input_thetas), torch.tensor(query_theta),
+            torch.tensor(rois), rest_theta=torch.tensor(rest_theta), phase="test",
+        )
+        z1m, z2m = model(
+            torch.tensor(x), torch.tensor(input_thetas), torch.tensor(query_theta),
+            torch.tensor(rois), phase="gen",
+        )
+    data["eval.out"] = out.numpy()
+    data["eval.shuffle_p"] = sp.numpy()
+    data["eval.shuffle_l"] = sl.numpy()
+    data["eval.rest_out"] = rest.numpy()
+    data["gen.z1_mean"] = z1m.numpy()
+    data["gen.z2_mean"] = z2m.numpy()
+    mn2.random.randint = orig
+
+    import os
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    path = f"{OUT_DIR}/nefnet2_lead{lead_num}.npz"
+    np.savez_compressed(path, **data)
+    print(f"wrote {path} ({len(data)} arrays)")
+
+
 if __name__ == "__main__":
     record(lead_num=3)  # flagship config (nef_net.yml: lead_num 3)
     record(lead_num=1)  # minimum end-to-end slice (SURVEY.md section 7)
+    record_nefnet2(lead_num=3)
