@@ -67,7 +67,27 @@ def build_meta(
     lo = (rois[5][0] + rois[5][1]) // 2
     noise_region = data12[:, lo: rois[5][1]]
     noise_std = np.std(noise_region, axis=1)
-    noise = rng.normal(loc=0.0, scale=noise_std, size=(data12.shape[-1], 12))
+    return assemble_meta(
+        data12, noise_std, data12.shape[-1], rois,
+        cfg=cfg, phase=phase, rng=rng, record_id=record_id,
+    )
+
+
+def assemble_meta(
+    data12: np.ndarray,
+    noise_std: np.ndarray,
+    beat_len: int,
+    rois: np.ndarray,
+    *,
+    cfg,
+    phase: str,
+    rng: np.random.Generator,
+    record_id: str = "",
+) -> dict:
+    """Second stage shared by the numpy and native (C++) preprocessing paths:
+    data12 is already normalized (padded or unpadded); noise_std is the
+    per-lead sigma; beat_len the true (unpadded) beat length."""
+    noise = rng.normal(loc=0.0, scale=noise_std, size=(beat_len, 12))
 
     # viewpoint-angle jitter, train only (tianchi.py:77-82,119-121)
     theta = LEAD_THETA

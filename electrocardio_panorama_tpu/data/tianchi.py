@@ -57,8 +57,22 @@ class TianchiBeatDataset:
     def get_beat(self, index: int, beat_index: int, rng: np.random.Generator) -> dict:
         name = self.records[index]
         data8, label = self._load(name)
+        rois, p_on, end_point = beat_rois(label, beat_index, data8.shape[-1])
+        if getattr(self.cfg.DATA, "use_native_prep", True):
+            from electrocardio_panorama_tpu.data import native
+            from electrocardio_panorama_tpu.data.beats import assemble_meta
+
+            prepped = native.prep_beat(
+                data8, p_on, end_point,
+                (rois[5][0] + rois[5][1]) // 2, rois[5][1],
+            ) if native.available() else None
+            if prepped is not None:
+                out12, sigma = prepped
+                return assemble_meta(
+                    out12, sigma, int(end_point - p_on), rois,
+                    cfg=self.cfg, phase=self.phase, rng=rng, record_id=name,
+                )
         data12 = derive_augmented_leads(data8)
-        rois, p_on, end_point = beat_rois(label, beat_index, data12.shape[-1])
         beat = data12[:, p_on:end_point]
         return build_meta(
             beat, rois, cfg=self.cfg, phase=self.phase, rng=rng, record_id=name

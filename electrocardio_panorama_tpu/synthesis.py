@@ -36,13 +36,22 @@ def theta_grid(n_theta: int = 7, n_phi: int = 12) -> np.ndarray:
 
 
 class PanoramaGenerator:
-    """Encode-once / decode-many panorama renderer (demo.ipynb Generator)."""
+    """Encode-once / decode-many panorama renderer (demo.ipynb Generator).
 
-    def __init__(self, model_def, params, bn_state, *, compute_dtype=jnp.float32):
+    `use_fused=True` decodes with the fused Pallas decoder kernel
+    (ops/pallas/decoder_fused.py: BN folded, whole chain in VMEM — ~2.2x the
+    XLA decoder on v5e at full f32 fidelity). Views are padded up to the
+    kernel's view-tile and trimmed after.
+    """
+
+    def __init__(self, model_def, params, bn_state, *, compute_dtype=jnp.float32,
+                 use_fused: bool = False, v_tile: int = 16):
         self.model = model_def
         self.params = params
         self.bn_state = bn_state
         self.dtype = compute_dtype
+        self.use_fused = use_fused
+        self.v_tile = v_tile
         if compute_dtype != jnp.float32:
             self.params = jax.tree.map(
                 lambda x: x.astype(compute_dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
@@ -52,6 +61,11 @@ class PanoramaGenerator:
             lambda p, x, it, r: self.model.encode(p, x, it, r).latent_all
         )
         self._decode = jax.jit(self.model.decode_views)
+        self._folded = None
+        if use_fused:
+            from electrocardio_panorama_tpu.ops.pallas.decoder_fused import fold_decoder_bn
+
+            self._folded = fold_decoder_bn(params, bn_state, dtype=compute_dtype)
 
     def encode(self, data, input_theta, rois):
         return self._encode(
@@ -65,6 +79,19 @@ class PanoramaGenerator:
         v = jnp.asarray(views, self.dtype)
         if v.ndim == 2:
             v = jnp.broadcast_to(v[None], (latent.shape[0], *v.shape))
+        if self._folded is not None:
+            from electrocardio_panorama_tpu.models.nefnet import query_gates
+            from electrocardio_panorama_tpu.ops.pallas.decoder_fused import fused_decode_views
+
+            V = v.shape[1]
+            pad = (-V) % self.v_tile
+            gates = query_gates(self.params, v)
+            if pad:
+                gates = jnp.concatenate(
+                    [gates, jnp.zeros((gates.shape[0], pad, 256), gates.dtype)], axis=1
+                )
+            out = fused_decode_views(self._folded, latent, gates, v_tile=self.v_tile)
+            return out[:, :V]
         return self._decode(self.params, self.bn_state, latent, v)
 
     def render_dataset(self, loader, views: np.ndarray, out_path: str | None = None,

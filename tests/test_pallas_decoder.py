@@ -1,0 +1,54 @@
+"""Fused Pallas decoder: interpret-mode parity with the XLA decoder (CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from electrocardio_panorama_tpu.models import NefNetDef
+from electrocardio_panorama_tpu.models.nefnet import decode_views, query_gates
+from electrocardio_panorama_tpu.ops.pallas.decoder_fused import (
+    fold_decoder_bn,
+    fused_decode_views,
+    upsample_matrix,
+)
+from electrocardio_panorama_tpu.ops import upsample_linear_x2
+
+
+def test_upsample_matrix_parity(rng):
+    x = jnp.asarray(rng.standard_normal((4, 128)).astype(np.float32))
+    u = upsample_matrix(128)
+    np.testing.assert_allclose(
+        np.asarray(x @ u), np.asarray(upsample_linear_x2(x)), atol=1e-6
+    )
+
+
+def test_fused_decoder_matches_xla(rng):
+    model = NefNetDef(3)
+    params, state = model.init(jax.random.PRNGKey(0))
+    latent = jnp.asarray(rng.standard_normal((2, 256, 128)).astype(np.float32) * 0.3)
+    views = jnp.asarray(rng.uniform(-np.pi, np.pi, (2, 16, 2)).astype(np.float32))
+
+    ref = decode_views(params, state, latent, views)
+    gates = query_gates(params, views)
+    folded = fold_decoder_bn(params, state)
+    ours = fused_decode_views(folded, latent, gates, v_tile=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-6)
+
+
+def test_fused_decoder_nonuniform_bn_state(rng):
+    """BN folding must use the actual running stats, not the initial 0/1."""
+    model = NefNetDef(3)
+    params, state = model.init(jax.random.PRNGKey(1))
+    state = {
+        k: (jnp.asarray(rng.uniform(0.5, 2.0, v.shape).astype(np.float32))
+            if k.endswith("running_var")
+            else jnp.asarray(rng.standard_normal(v.shape).astype(np.float32)) * 0.1
+            if k.endswith("running_mean") else v)
+        for k, v in state.items()
+    }
+    latent = jnp.asarray(rng.standard_normal((1, 256, 128)).astype(np.float32) * 0.3)
+    views = jnp.asarray(rng.uniform(-np.pi, np.pi, (1, 8, 2)).astype(np.float32))
+    ref = decode_views(params, state, latent, views)
+    folded = fold_decoder_bn(params, state)
+    ours = fused_decode_views(folded, latent, query_gates(params, views), v_tile=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)

@@ -1,0 +1,87 @@
+"""Panorama synthesis + from-scratch generation + theta grid."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from electrocardio_panorama_tpu.models import NefNetDef
+from electrocardio_panorama_tpu.synthesis import (
+    GaussianLatentPrior,
+    PanoramaGenerator,
+    plot_panorama,
+    synthesize_from_scratch,
+    theta_grid,
+)
+
+
+def make_batch(rng, B, L=3):
+    rois = []
+    for _ in range(B):
+        cuts = np.sort(rng.choice(np.arange(8, 504, 4), size=6, replace=False))
+        pts = np.concatenate([[0], cuts, [512]])
+        rois.append(np.stack([pts[:-1], pts[1:]], 1))
+    return dict(
+        data=rng.uniform(0, 1, (B, L, 512)).astype(np.float32),
+        input_theta=rng.uniform(-np.pi, np.pi, (B, L, 2)).astype(np.float32),
+        rois=np.stack(rois).astype(np.int64),
+    )
+
+
+def test_theta_grid_demo_shape():
+    g = theta_grid(7, 12)
+    assert g.shape == (84, 2)
+    # endpoints from demo.ipynb cell 2
+    assert abs(g[0, 0] - np.pi / 24) < 1e-6
+    assert abs(g[-1, 0] - np.pi * 23 / 24) < 1e-6
+    assert abs(g[0, 1] + np.pi) < 1e-6
+    g2 = theta_grid(3, 8)
+    assert g2.shape == (24, 2)
+
+
+def test_panorama_generator_render(tmp_path):
+    model = NefNetDef(3)
+    params, state = model.init(jax.random.PRNGKey(0))
+    gen = PanoramaGenerator(model, params, state)
+    rng = np.random.default_rng(0)
+    b = make_batch(rng, 2)
+    views = theta_grid(3, 4)  # 12 views
+    pano = gen.render(b["data"], b["input_theta"], b["rois"], views)
+    assert pano.shape == (2, 12, 512)
+    arr = np.asarray(pano)
+    assert np.isfinite(arr).all() and (arr > 0).all() and (arr < 1).all()
+
+    # render_dataset path (single batch iterator) + npz + plot
+    out_npz = str(tmp_path / "all_theta_data.npz")
+    loader = [b]
+    rest_out, rois = gen.render_dataset(iter(loader), views, out_npz)
+    assert rest_out.shape == (2, 12, 512)
+    z = np.load(out_npz)
+    assert set(z.files) == {"rest_out", "rois"}
+    png = str(tmp_path / "pano.png")
+    plot_panorama(rest_out, rois, 0, png, 3, 4)
+    assert os.path.getsize(png) > 1000
+
+
+def test_latent_prior_fit_sample_roundtrip(tmp_path):
+    model = NefNetDef(3)
+    params, state = model.init(jax.random.PRNGKey(1))
+    rng = np.random.default_rng(1)
+    loader = [make_batch(rng, 2) for _ in range(2)]
+    prior = GaussianLatentPrior.fit(model, params, iter(loader), max_batches=2)
+    z1, z2, rois = prior.sample(np.random.default_rng(0), n=3)
+    assert z1.shape == (3, 384, 128)
+    assert z2.shape == (3, 384, 7, 32)
+    assert rois.shape == (3, 7, 2)
+
+    path = str(tmp_path / "prior.npz")
+    prior.save(path)
+    prior2 = GaussianLatentPrior.load(path)
+    np.testing.assert_allclose(prior2.mean_z1, prior.mean_z1)
+
+    views = theta_grid(3, 4)
+    ecg = synthesize_from_scratch(model, params, state, prior2, views, n=3, seed=7)
+    assert ecg.shape == (3, 12, 512)
+    arr = np.asarray(ecg)
+    assert np.isfinite(arr).all() and (arr > 0).all() and (arr < 1).all()
