@@ -43,6 +43,8 @@ class BeatLoader:
         drop_last: bool = True,
         seed: int = 0,
         num_threads: int = 0,
+        sample_weights=None,
+        num_samples: int = 5000,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -51,10 +53,20 @@ class BeatLoader:
         self.seed = seed
         self.num_threads = num_threads
         self.epoch = 0
+        # WeightedRandomSampler equivalence (reference train_net.py:22-26):
+        # draw num_samples indices with replacement, weighted.
+        self.sample_weights = None
+        self.num_samples = num_samples
+        if sample_weights is not None:
+            w = np.asarray(sample_weights, np.float64)
+            self.sample_weights = w / w.sum()
+
+    def _epoch_len(self) -> int:
+        return self.num_samples if self.sample_weights is not None else len(self.dataset)
 
     def __len__(self) -> int:
-        n = len(self.dataset) // self.batch_size
-        if not self.drop_last and len(self.dataset) % self.batch_size:
+        n = self._epoch_len() // self.batch_size
+        if not self.drop_last and self._epoch_len() % self.batch_size:
             n += 1
         return max(n, 0)
 
@@ -68,15 +80,22 @@ class BeatLoader:
         return self.dataset.__getitem__(index, rng=rng)
 
     def __iter__(self):
-        order = np.arange(len(self.dataset))
-        if self.shuffle:
-            np.random.default_rng(
-                np.random.SeedSequence([self.seed, self.epoch, 0xE90C])
-            ).shuffle(order)
-        n_full = len(self.dataset) // self.batch_size
+        epoch_rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, self.epoch, 0xE90C])
+        )
+        if self.sample_weights is not None:
+            order = epoch_rng.choice(
+                len(self.dataset), size=self.num_samples, replace=True,
+                p=self.sample_weights,
+            )
+        else:
+            order = np.arange(len(self.dataset))
+            if self.shuffle:
+                epoch_rng.shuffle(order)
+        n_full = len(order) // self.batch_size
         ends = n_full * self.batch_size
-        if not self.drop_last and len(self.dataset) % self.batch_size:
-            ends = len(self.dataset)
+        if not self.drop_last and len(order) % self.batch_size:
+            ends = len(order)
 
         def fetch(span):
             lo, hi = span

@@ -22,11 +22,18 @@ def main(cfg):
 
     train_ds = build_dataset(cfg, phase="train")
     test_ds = build_dataset(cfg, phase="test")
-    # reference DataLoader recipe: batch 32, shuffle train, drop_last
+    # reference DataLoader recipe: batch 32, shuffle train, drop_last;
+    # weighted sampling (num_samples=5000) when the dataset exposes weights
     # (train_net.py:22-28)
+    weights = (
+        train_ds.get_label_weight()
+        if cfg.DATA.weighted_sample and hasattr(train_ds, "get_label_weight")
+        else None
+    )
     train_dl = BeatLoader(
         train_ds, cfg.DATA.batch_size, shuffle=True, drop_last=True,
         seed=cfg.seed, num_threads=cfg.DATA.num_workers,
+        sample_weights=weights,
     )
     test_dl = BeatLoader(
         test_ds, cfg.DATA.batch_size, shuffle=False, drop_last=True,

@@ -137,6 +137,24 @@ def plot_panorama(rest_out: np.ndarray, rois: np.ndarray, sample: int, path: str
     plt.close(fig)
 
 
+def render_full_record(gen: PanoramaGenerator, dataset, record_index: int,
+                       views: np.ndarray, rng: np.random.Generator | None = None):
+    """Dense panorama over EVERY beat of one record (BASELINE config 5:
+    full multi-beat records x dense view sweeps).
+
+    The beat axis becomes the batch axis: all beats encode in one launch and
+    all (beat, view) pairs decode together. Returns ([n_beats, V, 512], batch).
+    """
+    from electrocardio_panorama_tpu.data.pipeline import collate
+
+    rng = rng or np.random.default_rng(0)
+    n = dataset.num_beats(record_index)
+    metas = [dataset.get_beat(record_index, b, rng) for b in range(n)]
+    batch = collate(metas)
+    pano = gen.render(batch["data"], batch["input_theta"], batch["rois"], views)
+    return pano, batch
+
+
 # ------------------------------------------------------- from-scratch synthesis
 class GaussianLatentPrior:
     """Diagonal Gaussian over (z1, z2_grid) latents, fitted on dataset encodes.
