@@ -73,4 +73,5 @@ def get_default_cfg() -> Node:
     cfg.TPU.compute_dtype = "float32"  # "bfloat16" for throughput mode
     cfg.TPU.steps_per_epoch = 0        # 0 = full pass over the dataset
     cfg.TPU.profile_dir = ""           # non-empty => jax.profiler traces
+    cfg.TPU.check_nans = True          # per-step loss-finiteness guard
     return cfg

@@ -172,6 +172,9 @@ def fused_decode_views(folded: dict, latent_all, gates, *, v_tile: int = 8,
         out_specs=pl.BlockSpec((1, v_tile, SEQ), lambda b, v: (b, v, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, V, SEQ), dtype),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(
         latent_all, gates,
         upsample_matrix(FEAT, dtype), upsample_matrix(2 * FEAT, dtype),

@@ -183,7 +183,15 @@ class Solver:
                     params, bn_state, opt_state, step_rng,
                     jnp.asarray(i1), jnp.asarray(i2), *arrays,
                 )
-                losses.append(np.asarray(lvec))
+                lnp = np.asarray(lvec)
+                if cfg.TPU.check_nans and not np.isfinite(lnp).all():
+                    # failure detection: surface divergence with enough context
+                    # to resume from the last epoch checkpoint
+                    raise FloatingPointError(
+                        f"non-finite loss at epoch {epoch} step {step_i}: {lnp.tolist()} "
+                        f"(resume from the last epoch checkpoint in {self.output_dir})"
+                    )
+                losses.append(lnp)
             else:
                 arrays = self._shard_batch((
                     jnp.asarray(batch["data"]), jnp.asarray(batch["input_theta"]),
@@ -249,7 +257,11 @@ class Solver:
             if hasattr(dl_train, "set_epoch"):
                 dl_train.set_epoch(epoch)
             if profile_dir and epoch == start_epoch:
-                jax.profiler.start_trace(profile_dir)
+                try:
+                    jax.profiler.start_trace(profile_dir)
+                except Exception as e:  # noqa: BLE001 — profiling is best-effort
+                    print(f"profiler unavailable: {e}")
+                    profile_dir = ""
             t0 = time.perf_counter()
             tr = self.run_one_epoch(
                 dl_train, "train", epoch=epoch,
@@ -258,6 +270,7 @@ class Solver:
             params, bn_state, opt_state, rng = tr["params"], tr["bn_state"], tr["opt_state"], tr["rng"]
             if profile_dir and epoch == start_epoch:
                 jax.profiler.stop_trace()
+                print(f"profiler trace written to {profile_dir}")
             te = self.run_one_epoch(
                 dl_test, "test", epoch=epoch, params=params, bn_state=bn_state
             )

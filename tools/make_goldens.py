@@ -112,6 +112,24 @@ def record(lead_num: int, batch: int = 4, n_rest: int = 9, seed: int = 0):
         if "running_" in k or "num_batches" in k:
             data[f"post_train_state::{k}"] = v.numpy().copy()
 
+    # ---- gradient golden: one full train-mode backward (dropout off, pinned
+    # shuffles, the shipped loss recipe: 0.5*sg-L1 x2 + 1.0*L1(out, target))
+    model.load_state_dict({k: torch.tensor(data[f"param::{k}"]) for k in
+                           [kk[len("param::"):] for kk in data if kk.startswith("param::")]})
+    model.train()
+    set_dropout_eval(model)
+    counter["n"] = 0
+    target = torch.tensor(rng.uniform(0, 1, (batch, 1, 512)).astype(np.float32))
+    data["grad_target"] = target.numpy()
+    out_g, sp_g, sl_g = model(tx, tin, tq, trois, phase="train")
+    l1 = torch.nn.L1Loss()
+    loss = 0.5 * l1(out_g.detach(), sp_g) + 0.5 * l1(out_g.detach(), sl_g) + 1.0 * l1(out_g, target)
+    loss.backward()
+    data["grad_loss"] = np.array(loss.item(), np.float32)
+    for k, v in model.named_parameters():
+        if v.grad is not None:
+            data[f"grad::{k}"] = v.grad.numpy().copy()
+
     mn.random.randint = orig_randint
 
     import os
