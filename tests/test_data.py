@@ -148,3 +148,33 @@ def test_partition_sizes(synthetic_cfg):
     assert (n_in, n_rest) == (3, 9)
     n_in, n_rest = partition_sizes(1, "_1110", "normal")
     assert (n_in, n_rest) == (1, 11)
+
+
+def test_ptb_dataset_end_to_end(tmp_path):
+    """PTB pipeline: synthetic corpus in PTB layout -> beat indexing -> pickle
+    cache -> meta assembly with the PTB lead reorder."""
+    from electrocardio_panorama_tpu.data import generate_ptb_dataset
+    from electrocardio_panorama_tpu.data.ptb import PTBBeatDataset, reorder_ptb_leads
+
+    overrides = generate_ptb_dataset(str(tmp_path), n_patients=3, records_per_patient=2)
+    cfg = get_cfg()
+    cfg.DATA.lead_num = 1
+    cfg.DATA.super_mode = "_1110"
+    for k, v in overrides.items():
+        cfg.DATA[k] = v
+
+    ds = PTBBeatDataset(cfg, "train")
+    assert len(ds) > 0
+    meta = ds.__getitem__(0, rng=np.random.default_rng(0))
+    assert meta["data"].shape == (1, 512)
+    assert meta["rest_view"].shape == (11, 512)
+    # pickle cache created and reused
+    import os
+    assert os.path.exists(cfg.DATA.train_pkl_path)
+    ds2 = PTBBeatDataset(cfg, "train")
+    assert len(ds2) == len(ds)
+
+    # lead reorder: raw PTB [I,II,III,aVR,aVL,aVF,V1..V6] -> canonical
+    raw = np.arange(12)[:, None] * np.ones((1, 8))
+    re = reorder_ptb_leads(raw)
+    np.testing.assert_array_equal(re[:, 0], [0, 1, 6, 7, 8, 9, 10, 11, 2, 3, 4, 5])
