@@ -4,7 +4,7 @@ from functools import partial
 
 import jax.numpy as jnp
 
-from electrocardio_panorama_tpu.models.losses import loss_wrapper, mse, mse_per_lead, l1
+from electrocardio_panorama_tpu.models.losses import l1, loss_wrapper, mse, mse_per_lead  # noqa: F401 — public API re-exports
 from electrocardio_panorama_tpu.models.nefnet import (
     NefNetLatents,
     decode_views,

@@ -15,8 +15,6 @@ independent after encoding (SURVEY.md section 5, long-context equivalent).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import optax

@@ -143,7 +143,7 @@ class Solver:
             # reference hardcodes 4 regardless of gen_num (solver.py:192-193)
             lo_unsup = reg(rest_out[:, -4:, :], rest_view[:, -4:, :])
             if whole or gen_num == 0:
-                psnr_gen = M.psnr_masked(rest_out, rest_view, None_rois(rois))
+                psnr_gen = M.psnr_masked(rest_out, rest_view, _full_length_rois(rois))
                 psnr_reg = psnr_gen
             else:
                 psnr_gen = M.psnr_masked(rest_out[:, -gen_num:], rest_view[:, -gen_num:], rois)
@@ -360,10 +360,8 @@ class Solver:
             plt.close(fig)
 
 
-def None_rois(rois):
-    """Rois stand-in selecting the full length: set end to T via a large value.
-
-    Used for the whole-sequence PSNR branch (solver.py:200-206 computes PSNR
-    without rois there)."""
-    big = jnp.full_like(rois, 10**9)
-    return big
+def _full_length_rois(rois):
+    """Rois stand-in selecting the full sequence (psnr_masked clamps the end
+    to T) — the whole-sequence PSNR branch computes PSNR without rois
+    (reference solver.py:200-206)."""
+    return jnp.full_like(rois, 10**9)

@@ -154,3 +154,24 @@ def test_gradient_parity(lead_num):
         np.testing.assert_allclose(ours, ref, atol=2e-4 * scale + 1e-7, err_msg=name)
         checked += 1
     assert checked > 30  # all conv/linear/bn weights participated
+
+
+def test_theta_encoder_len_2():
+    """Multi-frequency Angular Encoding generalization: theta_L=2 gives
+    20-dim features and consistent mlp shapes (the reference stores theta_L
+    but supports only one frequency — theta_encoder.py:11)."""
+    model = NefNetDef(2, theta_encoder_len=2)
+    params, state = model.init(jax.random.PRNGKey(0))
+    assert params["mlp1.weight"].shape == (128, 20)
+    assert params["mlp2.weight"].shape == (256, 20)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 2, 512)).astype(np.float32))
+    it = jnp.asarray(rng.uniform(-1, 1, (2, 2, 2)).astype(np.float32))
+    qt = jnp.asarray(rng.uniform(-1, 1, (2, 2)).astype(np.float32))
+    pts = np.array([0, 64, 128, 192, 256, 320, 448, 512])
+    rois = jnp.asarray(np.broadcast_to(np.stack([pts[:-1], pts[1:]], 1), (2, 7, 2)))
+    rt = jnp.asarray(rng.uniform(-1, 1, (2, 5, 2)).astype(np.float32))
+    (out, sp, sl, rest), _ = model.apply(params, state, x, it, qt, rois, rt,
+                                         phase="test", shuffle_idx=(0, 1))
+    assert rest.shape == (2, 5, 512)
+    assert np.isfinite(np.asarray(rest)).all()

@@ -118,3 +118,55 @@ def test_view_sharded_panorama_matches_single_device(cfg):
     v = jnp.broadcast_to(jnp.asarray(views)[None], (4, 16, 2))
     pano_single = model.decode_views(params, bn_state, latent, v)
     np.testing.assert_allclose(np.asarray(pano_sharded), np.asarray(pano_single), atol=2e-5)
+
+
+def test_dense_sweep_full_record_sharded(cfg):
+    """BASELINE config 5: dense viewpoint sweep over a full multi-beat record,
+    sharded (data x view) on the 8-device mesh — matches single-device."""
+    from electrocardio_panorama_tpu.config import get_cfg
+    from electrocardio_panorama_tpu.data import build_dataset
+    from electrocardio_panorama_tpu.data.pipeline import collate
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dcfg = get_cfg()
+    dcfg.DATA.dataset = "synthetic"
+    dcfg.DATA.lead_num = 3
+    dcfg.DATA.super_mode = "IIv2v5_v4I_372"
+    dcfg.DATA.train_data_mode = "input_fix"
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        dcfg.DATA.synthetic_root = td + "/synth"
+        dcfg.output_dir = td + "/out"
+        ds = build_dataset(dcfg, "test")
+        rng = np.random.default_rng(0)
+        # all beats of record 0, padded to a multiple of the data axis (4)
+        n = ds.num_beats(0)
+        metas = [ds.get_beat(0, b % n, rng) for b in range(((n + 3) // 4) * 4)]
+        batch = collate(metas)
+
+    mesh = make_mesh((4, 2), ("data", "view"))
+    model = build_model(cfg)
+    params, state = model.init(jax.random.PRNGKey(2))
+    views = np.asarray(
+        np.stack(np.meshgrid(np.linspace(0.1, 3.0, 6), np.linspace(-3.1, 3.1, 6),
+                             indexing="ij"), -1).reshape(-1, 2), np.float32)  # 36 views
+
+    render = build_sharded_panorama(model, mesh)
+    rep = NamedSharding(mesh, P())
+    pano = render(
+        jax.tree.map(lambda x: jax.device_put(x, rep), params),
+        jax.tree.map(lambda x: jax.device_put(x, rep), state),
+        jax.device_put(jnp.asarray(batch["data"]), NamedSharding(mesh, P("data"))),
+        jax.device_put(jnp.asarray(batch["input_theta"]), NamedSharding(mesh, P("data"))),
+        jax.device_put(jnp.asarray(batch["rois"]), NamedSharding(mesh, P("data"))),
+        jax.device_put(jnp.asarray(views), NamedSharding(mesh, P("view"))),
+    )
+    assert pano.shape == (len(metas), 36, 512)
+
+    # single-device reference
+    latent = model.encode(params, jnp.asarray(batch["data"]),
+                          jnp.asarray(batch["input_theta"]), jnp.asarray(batch["rois"])).latent_all
+    v = jnp.broadcast_to(jnp.asarray(views)[None], (len(metas), 36, 2))
+    ref = model.decode_views(params, state, latent, v)
+    np.testing.assert_allclose(np.asarray(pano), np.asarray(ref), atol=2e-5)
