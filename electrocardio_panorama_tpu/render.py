@@ -24,7 +24,7 @@ from electrocardio_panorama_tpu.utils import seed_everything
 
 
 def main(cfg, n_theta=7, n_phi=12, out_path=None, plot_path=None, max_batches=None,
-         batch_size=2):
+         batch_size=2, use_fused=False):
     seed_everything(cfg.seed)
     ckpt = CheckPointer(os.path.join(cfg.output_dir, cfg.desc))
     loaded = ckpt.load(cfg.MODEL.resume or None, best_valid=not cfg.MODEL.resume)
@@ -34,7 +34,8 @@ def main(cfg, n_theta=7, n_phi=12, out_path=None, plot_path=None, max_batches=No
 
     model = build_model(cfg)
     gen = PanoramaGenerator(
-        model, params, bn_state, compute_dtype=jnp.dtype(cfg.TPU.compute_dtype)
+        model, params, bn_state, compute_dtype=jnp.dtype(cfg.TPU.compute_dtype),
+        use_fused=use_fused,
     )
     test_ds = build_dataset(cfg, phase="test")
     # demo.ipynb uses batch size 2 for rendering
@@ -56,6 +57,9 @@ if __name__ == "__main__":
     parser.add_argument("--out", default=None)
     parser.add_argument("--plot", default=None)
     parser.add_argument("--max-batches", default=None, type=int)
+    parser.add_argument("--fused", action="store_true",
+                        help="decode with the fused Pallas kernel (f32, ~2.3x)")
     args = parser.parse_args()
     cfg = cfg_from_args(args)
-    main(cfg, args.n_theta, args.n_phi, args.out, args.plot, args.max_batches)
+    main(cfg, args.n_theta, args.n_phi, args.out, args.plot, args.max_batches,
+         use_fused=args.fused)

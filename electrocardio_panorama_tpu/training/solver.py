@@ -72,7 +72,15 @@ class Solver:
             return None
         from jax.sharding import Mesh
 
-        devices = np.asarray(jax.devices()[: int(np.prod(shape))]).reshape(shape)
+        n = int(np.prod(shape))
+        avail = jax.devices()
+        if n > len(avail):
+            raise ValueError(
+                f"TPU.mesh_shape {list(shape)} needs {n} devices but only "
+                f"{len(avail)} are visible; shrink the mesh or launch on a "
+                f"larger slice"
+            )
+        devices = np.asarray(avail[:n]).reshape(shape)
         return Mesh(devices, tuple(self.cfg.TPU.mesh_axes)[: len(shape)])
 
     def _shard_batch(self, arrays):

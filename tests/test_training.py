@@ -111,3 +111,44 @@ def test_checkpoint_loads_reference_torch_pkl(tmp_path):
     assert "mlp1.weight" in params
     assert "decoder.1.double_conv.1.running_mean" in state
     assert extras["epoch"] == 7
+
+
+def test_solver_with_mesh_dp(tmp_path):
+    """Solver GSPMD data-parallel path (cfg.TPU.mesh_shape): params replicated,
+    batch sharded over the 8-device mesh — the dense_sweep_v5e8.yml route."""
+    cfg = get_cfg()
+    cfg.desc = "meshsmoke"
+    cfg.DATA.dataset = "synthetic"
+    cfg.DATA.lead_num = 3
+    cfg.DATA.super_mode = "IIv2v5_v4I_372"
+    cfg.DATA.train_data_mode = "input_fix"
+    cfg.DATA.batch_size = 8
+    cfg.MODEL.model = "model_nefnet"
+    cfg.SOLVER.epochs = 1
+    cfg.SOLVER.lr = 0.01
+    cfg.TPU.steps_per_epoch = 1
+    cfg.TPU.mesh_shape = [8]
+    cfg.DATA.synthetic_root = str(tmp_path / "synth")
+    cfg.output_dir = str(tmp_path / "out")
+
+    train_ds = build_dataset(cfg, "train")
+    test_ds = build_dataset(cfg, "test")
+    dl_tr = BeatLoader(train_ds, cfg.DATA.batch_size, shuffle=True, drop_last=True, seed=1)
+    dl_te = BeatLoader(test_ds, cfg.DATA.batch_size, shuffle=False, drop_last=True, seed=2)
+    solver = Solver(cfg, use_writer=False)
+    assert solver.mesh is not None and solver.mesh.devices.size == 8
+    params, bn = solver.train(dl_tr, dl_te)
+    import jax
+
+    assert all(np.isfinite(np.asarray(v)).all() for v in jax.tree.leaves(params))
+
+
+def test_solver_mesh_too_large_raises(tmp_path):
+    cfg = get_cfg()
+    cfg.desc = "debug"
+    cfg.MODEL.model = "model_nefnet"
+    cfg.DATA.lead_num = 3
+    cfg.TPU.mesh_shape = [64]
+    cfg.output_dir = str(tmp_path)
+    with pytest.raises(ValueError, match="devices"):
+        Solver(cfg, use_writer=False)
