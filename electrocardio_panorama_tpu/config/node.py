@@ -100,6 +100,10 @@ def _parse_literal(s: str) -> Any:
 
 
 def _check_type(old: Any, new: Any, path: str) -> Any:
+    # bool is an int subclass in Python; a bool arriving at an int/float key is
+    # a typo'd config ('epochs: yes'), not a number — reject before isinstance.
+    if isinstance(new, bool) and isinstance(old, (int, float)) and not isinstance(old, bool):
+        raise TypeError(f"type mismatch at {path}: have {type(old).__name__}, got bool")
     if old is None or new is None or isinstance(new, type(old)):
         return new
     coerce = _COERCIONS.get((type(new), type(old)))
@@ -112,7 +116,6 @@ def _check_type(old: Any, new: Any, path: str) -> Any:
             return type(old)(float(new))
         except ValueError:
             pass
-    # bool is an int subclass in Python; require exact match for bools.
     raise TypeError(
         f"type mismatch at {path}: have {type(old).__name__}, got {type(new).__name__}"
     )

@@ -81,7 +81,7 @@ def synth_record(rng: np.random.Generator, total_len: int = 5000) -> tuple[np.nd
 
 
 def generate_tianchi_dataset(
-    root: str, n_train: int = 8, n_test: int = 4, seed: int = 0, total_len: int = 5000
+    root: str, n_train: int = 16, n_test: int = 8, seed: int = 0, total_len: int = 5000
 ) -> dict:
     """Write a complete synthetic corpus in the reference's directory layout
     (config/default.py:16-19): npy_data/tianchi_train_round1/*.npy,

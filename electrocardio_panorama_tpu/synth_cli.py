@@ -83,6 +83,16 @@ def fit_prior(cfg, max_batches=8, batch_size=8):
     return path
 
 
+def _grid_dims(n_views: int) -> tuple[int, int]:
+    """Factor a view count into the most square (n_theta, n_phi) grid."""
+    if n_views < 1:
+        raise ValueError(f"--views must be >= 1, got {n_views}")
+    for d in range(int(n_views**0.5), 0, -1):
+        if n_views % d == 0:
+            return d, n_views // d
+    return 1, n_views
+
+
 def generate(cfg, n=8, n_views=24, out_path=None, plot_path=None, seed=0,
              temperature=1.0):
     model, params, bn_state = _load_model(cfg)
@@ -90,16 +100,17 @@ def generate(cfg, n=8, n_views=24, out_path=None, plot_path=None, seed=0,
     if not os.path.exists(prior_path):
         fit_prior(cfg)
     prior = GaussianLatentPrior.load(prior_path)
-    views = theta_grid(max(n_views // 8, 1), 8) if n_views % 8 == 0 else theta_grid(3, n_views // 3)
-    ecg = synthesize_from_scratch(model, params, bn_state, prior, views, n=n, seed=seed)
+    nt, np_ = _grid_dims(n_views)
+    views = theta_grid(nt, np_)
+    ecg = synthesize_from_scratch(model, params, bn_state, prior, views, n=n,
+                                  seed=seed, temperature=temperature)
     ecg = np.asarray(ecg)
     out_path = out_path or os.path.join(cfg.latent_save_dir, "generated.npz")
     rois = np.broadcast_to(prior.rois_template, (n, *prior.rois_template.shape))
     np.savez(out_path, ecg=ecg, views=views, rois=rois)
     print(f"generated {n} beats x {len(views)} views -> {out_path}")
     if plot_path:
-        nt = max(n_views // 8, 1) if n_views % 8 == 0 else 3
-        plot_panorama(ecg, rois, 0, plot_path, nt, len(views) // nt)
+        plot_panorama(ecg, rois, 0, plot_path, nt, np_)
         print(f"plot -> {plot_path}")
     return ecg
 

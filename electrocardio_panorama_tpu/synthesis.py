@@ -85,7 +85,9 @@ class PanoramaGenerator:
 
             V = v.shape[1]
             pad = (-V) % self.v_tile
-            gates = query_gates(self.params, v)
+            gates = query_gates(
+                self.params, v, theta_encoder_len=self.model.theta_encoder_len
+            )
             if pad:
                 gates = jnp.concatenate(
                     [gates, jnp.zeros((gates.shape[0], pad, 256), gates.dtype)], axis=1
@@ -206,11 +208,12 @@ class GaussianLatentPrior:
 
 
 def synthesize_from_scratch(model_def, params, bn_state, prior: GaussianLatentPrior,
-                            views: np.ndarray, n: int, seed: int = 0):
+                            views: np.ndarray, n: int, seed: int = 0,
+                            temperature: float = 1.0):
     """Sample latents from the prior, decode under arbitrary viewpoints
     (reference gen_ecg two-step API, model_nefnet.py:196-218). Returns [n, V, 512]."""
     rng = np.random.default_rng(seed)
-    z1, z2, rois = prior.sample(rng, n)
+    z1, z2, rois = prior.sample(rng, n, temperature=temperature)
     v = np.broadcast_to(np.asarray(views, np.float32)[None], (n, len(views), 2))
     return model_def.gen_ecg(params, bn_state, jnp.asarray(z1), jnp.asarray(z2),
                              jnp.asarray(v), jnp.asarray(rois))

@@ -31,7 +31,6 @@ import jax.numpy as jnp
 import optax
 
 from electrocardio_panorama_tpu.models import build_loss, build_model
-from electrocardio_panorama_tpu.models.losses import l1, mse, standin_l1
 from electrocardio_panorama_tpu.training import metrics as M
 from electrocardio_panorama_tpu.training.checkpoint import CheckPointer
 from electrocardio_panorama_tpu.training.optim import get_optimizer, lr_for_epoch, set_lr
@@ -129,11 +128,9 @@ class Solver:
     def _build_eval_step(self):
         cfg = self.cfg
         model = self.model
-        reg = {"l2_loss": mse, "l1_loss": l1}[cfg.SOLVER.reg_loss]
+        loss_fn = self.loss
         gen_num = gen_lead_count(cfg)
         whole = cfg.DATA.super_mode != "normal" and cfg.DATA.super_mode[-1] == "0"
-        f = cfg.SOLVER.loss_factor
-        using = cfg.SOLVER.loss_using
 
         @jax.jit
         def step(params, bn_state, data, input_theta, target_theta, rois,
@@ -143,13 +140,12 @@ class Solver:
                 rest_theta, phase="test", shuffle_idx=(0, 0),
             )
             tv = target_view[:, None, :]
-            lo1 = standin_l1(out, sp) if 1 in using else 0.0
-            lo2 = standin_l1(out, sl) if 2 in using else 0.0
-            lo3 = reg(out, tv) if 3 in using else 0.0
-            loss = lo1 * f[0] + lo2 * f[1] + lo3 * f[2]
-            # val-time unsupervised loss over the LAST 4 rest views — the
-            # reference hardcodes 4 regardless of gen_num (solver.py:192-193)
-            lo_unsup = reg(rest_out[:, -4:, :], rest_view[:, -4:, :])
+            # val-time loss tuple incl. the unsupervised term over the LAST 4
+            # rest views — the reference hardcodes 4 regardless of gen_num
+            # (solver.py:192-193)
+            loss, lo1f, lo2f, lo3f, lo_unsup = loss_fn(
+                out, sp, sl, tv, cfg, rest_out[:, -4:, :], rest_view[:, -4:, :]
+            )
             if whole or gen_num == 0:
                 psnr_gen = M.psnr_masked(rest_out, rest_view, _full_length_rois(rois))
                 psnr_reg = psnr_gen
@@ -157,8 +153,8 @@ class Solver:
                 psnr_gen = M.psnr_masked(rest_out[:, -gen_num:], rest_view[:, -gen_num:], rois)
                 psnr_reg = M.psnr_masked(rest_out[:, :-gen_num], rest_view[:, :-gen_num], rois)
             losses = jnp.stack([
-                loss, jnp.asarray(lo1 * f[0]), jnp.asarray(lo2 * f[1]),
-                jnp.asarray(lo3 * f[2]), lo_unsup,
+                loss, jnp.asarray(lo1f), jnp.asarray(lo2f), jnp.asarray(lo3f),
+                lo_unsup,
             ])
             return out, rest_out, losses, psnr_gen, psnr_reg
 
@@ -307,13 +303,22 @@ class Solver:
             print(f"Epoch {epoch}: train_loss: {trm[0]:.6f}, test_loss: {tem[0]:.6f} ({dt:.1f}s)")
             print(f"psnr_gen: {psnr_gen}, psnr_reg: {psnr_reg}, ssim_gen:{ssim_gen}, ssim_reg:{ssim_reg}")
 
-            extras = {"psnr_gen": float(psnr_gen), "psnr_reg": float(psnr_reg), "epoch": epoch}
+            # best_test_psnr_gen rides along in EVERY epoch checkpoint so a
+            # resume from a non-best epoch keeps the best tracking (the
+            # reference's reused save_arguments dict, solver.py:105-116)
+            best_psnr_gen = max(best_psnr_gen, 0.0)
+            is_best = psnr_gen > best_psnr_gen
+            if is_best:
+                best_psnr_gen = float(psnr_gen)
+            extras = {
+                "psnr_gen": float(psnr_gen), "psnr_reg": float(psnr_reg),
+                "epoch": epoch, "best_test_psnr_gen": best_psnr_gen,
+            }
             ckpt.save(f"epoch_{epoch}", params=params, bn_state=bn_state,
                       opt_state=opt_state, **extras)
-            if psnr_gen > best_psnr_gen:
-                best_psnr_gen = float(psnr_gen)
+            if is_best:
                 ckpt.save("best_valid", params=params, bn_state=bn_state,
-                          opt_state=opt_state, best_test_psnr_gen=best_psnr_gen, **extras)
+                          opt_state=opt_state, **extras)
         return params, bn_state
 
     # ------------------------------------------------------------------- val

@@ -104,7 +104,7 @@ def synthetic_cfg(tmp_path_factory):
 
 def test_synthetic_dataset_meta(synthetic_cfg):
     ds = build_dataset(synthetic_cfg, "train")
-    assert len(ds) == 8
+    assert len(ds) == 16
     rng = np.random.default_rng(0)
     meta = ds.__getitem__(0, rng=rng)
     assert meta["data"].shape == (3, 512)
@@ -130,7 +130,7 @@ def test_loader_batching_and_determinism(synthetic_cfg):
     ds = build_dataset(synthetic_cfg, "train")
     dl = BeatLoader(ds, batch_size=4, shuffle=True, drop_last=True, seed=9)
     batches = list(dl)
-    assert len(batches) == 2
+    assert len(batches) == 4  # 16 train records / batch 4
     b = batches[0]
     assert b["data"].shape == (4, 3, 512)
     assert b["rest_view"].shape == (4, 9, 512)

@@ -152,3 +152,36 @@ def test_solver_mesh_too_large_raises(tmp_path):
     cfg.output_dir = str(tmp_path)
     with pytest.raises(ValueError, match="devices"):
         Solver(cfg, use_writer=False)
+
+
+def test_best_tracking_survives_resume_from_non_best_epoch(tmp_path):
+    """Every epoch checkpoint carries best_test_psnr_gen, so resuming from a
+    non-best epoch cannot regress best_valid.pkl (reference solver.py:105-116
+    keeps it in the reused save_arguments dict)."""
+    import jax.numpy as jnp
+
+    ckpt = CheckPointer(str(tmp_path))
+    params = {"w": jnp.ones(2)}
+    # simulate: epoch 5 was best (psnr 25); epoch 9 saved later with worse psnr
+    ckpt.save("best_valid", params=params, bn_state={}, epoch=5,
+              psnr_gen=25.0, best_test_psnr_gen=25.0)
+    ckpt.save("epoch_9", params=params, bn_state={}, epoch=9,
+              psnr_gen=20.0, best_test_psnr_gen=25.0)
+    # resume reads last_checkpoint -> epoch_9; best must still be 25
+    _, _, _, extras = ckpt.load()
+    assert extras["epoch"] == 9
+    assert extras["best_test_psnr_gen"] == 25.0
+
+
+def test_synthetic_config_produces_eval_batches(tmp_path):
+    """The shipped nef_net_synthetic.yml must yield >= 1 test batch so metrics
+    and best_valid.pkl actually materialize (regression for a zero-eval-batch
+    corpus/batch-size mismatch)."""
+    from electrocardio_panorama_tpu.config import load_cfg
+
+    cfg = load_cfg("configs/nef_net_synthetic.yml")
+    cfg.DATA.synthetic_root = str(tmp_path / "synth")
+    cfg.output_dir = str(tmp_path / "out")
+    ds = build_dataset(cfg, "test")
+    dl = BeatLoader(ds, cfg.DATA.batch_size, shuffle=False, drop_last=True, seed=0)
+    assert len(dl) >= 1, (len(ds), cfg.DATA.batch_size)
