@@ -7,6 +7,9 @@ framework's multi-chip test strategy (SURVEY.md section 4).
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # override the session's axon/TPU platform
+# CPU AOT cache entries are machine-feature specific (SIGILL risk across
+# hosts); the suite recompiles instead of touching the persistent cache.
+os.environ["ECGPAN_NO_COMPILE_CACHE"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
