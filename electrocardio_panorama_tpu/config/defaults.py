@@ -74,4 +74,5 @@ def get_default_cfg() -> Node:
     cfg.TPU.steps_per_epoch = 0        # 0 = full pass over the dataset
     cfg.TPU.profile_dir = ""           # non-empty => jax.profiler traces
     cfg.TPU.check_nans = True          # per-step loss-finiteness guard
+    cfg.TPU.checkpoint_backend = "pickle"  # "pickle" (reference-parity) | "orbax"
     return cfg

@@ -56,6 +56,10 @@ class CheckPointer:
         return path
 
     # ------------------------------------------------------------------ load
+    def epoch_path(self, epoch: int) -> str:
+        """Path of a specific epoch checkpoint for this backend."""
+        return os.path.join(self.save_dir or ".", f"epoch_{epoch}.pkl")
+
     def has_checkpoint(self) -> bool:
         return self.save_dir is not None and os.path.exists(
             os.path.join(self.save_dir, "last_checkpoint")
@@ -109,3 +113,60 @@ def _looks_like_torch(model_dict) -> bool:
         return any(isinstance(v, torch.Tensor) for v in model_dict.values())
     except ImportError:
         return False
+
+
+class OrbaxCheckPointer(CheckPointer):
+    """Orbax-backed variant: same name/pointer/best semantics, directory
+    checkpoints via orbax.checkpoint.PyTreeCheckpointer (async-capable storage
+    layer, multi-host safe) instead of pickle files.
+
+    Layout: {save_dir}/{name}.orbax/ holding {"model", "bn_state",
+    "optimizer", "extras"}; the `last_checkpoint` pointer file stores the
+    directory path, and `load` dispatches on the path suffix so pickle and
+    orbax checkpoints coexist in one run directory.
+    """
+
+    def save(self, name: str, *, params, bn_state, opt_state=None, **extras) -> str | None:
+        if self.save_dir is None:
+            return None
+        import orbax.checkpoint as ocp
+
+        payload = {"model": _to_numpy(params), "bn_state": _to_numpy(bn_state)}
+        if opt_state is not None:
+            payload["optimizer"] = _to_numpy(opt_state)
+        payload["extras"] = dict(extras)
+        path = os.path.abspath(os.path.join(self.save_dir, f"{name}.orbax"))
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(path, payload, force=True)
+        with open(os.path.join(self.save_dir, "last_checkpoint"), "w") as f:
+            f.write(path)
+        return path
+
+    def load(self, resume: str | None = None, best_valid: bool = False):
+        path = self.resolve(resume, best_valid)
+        if path is None and best_valid and self.save_dir:
+            cand = os.path.join(self.save_dir, "best_valid.orbax")
+            path = cand if os.path.exists(cand) else None
+        if path is None or not os.path.exists(path):
+            return None
+        if not path.endswith(".orbax"):
+            return super().load(resume=path)
+        import orbax.checkpoint as ocp
+
+        payload = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+        params = _to_jax(payload["model"])
+        bn_state = _to_jax(payload.get("bn_state", {}))
+        opt_state = payload.get("optimizer")
+        if opt_state is not None:
+            opt_state = _to_jax(opt_state)
+        return params, bn_state, opt_state, dict(payload.get("extras", {}))
+
+    def resolve(self, resume: str | None = None, best_valid: bool = False) -> str | None:
+        if not resume and best_valid and self.save_dir:
+            cand = os.path.join(self.save_dir, "best_valid.orbax")
+            if os.path.exists(cand):
+                return cand
+        return super().resolve(resume, best_valid)
+
+    def epoch_path(self, epoch: int) -> str:
+        return os.path.join(self.save_dir or ".", f"epoch_{epoch}.orbax")

@@ -64,6 +64,21 @@ class Solver:
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
 
+    def _checkpointer(self):
+        """Checkpoint backend per cfg.TPU.checkpoint_backend: 'pickle' keeps
+        the reference's .pkl file contract; 'orbax' uses directory checkpoints
+        (async-capable storage, multi-host safe) with identical semantics."""
+        backend = getattr(self.cfg.TPU, "checkpoint_backend", "pickle")
+        if backend == "orbax":
+            from electrocardio_panorama_tpu.training.checkpoint import OrbaxCheckPointer
+
+            return OrbaxCheckPointer(self.output_dir)
+        if backend != "pickle":
+            raise ValueError(
+                f"unknown TPU.checkpoint_backend {backend!r} (use 'pickle' or 'orbax')"
+            )
+        return CheckPointer(self.output_dir)
+
     # ------------------------------------------------------------------ mesh
     def _make_mesh(self):
         shape = tuple(self.cfg.TPU.mesh_shape)
@@ -243,7 +258,7 @@ class Solver:
         params, bn_state = self.model.init(init_rng)
         opt_state = self.tx.init(params)
 
-        ckpt = CheckPointer(self.output_dir)
+        ckpt = self._checkpointer()
         start_epoch, best_psnr_gen = 0, 0.0
         loaded = ckpt.load(cfg.MODEL.resume or None)
         if loaded is not None:
@@ -323,11 +338,11 @@ class Solver:
 
     # ------------------------------------------------------------------- val
     def val(self, dl_test, epoch: int = -1):
-        ckpt = CheckPointer(self.output_dir)
+        ckpt = self._checkpointer()
         if epoch == -1:
             loaded = ckpt.load(best_valid=True)
         else:
-            loaded = ckpt.load(os.path.join(self.output_dir, f"epoch_{epoch}.pkl"))
+            loaded = ckpt.load(ckpt.epoch_path(epoch))
         if loaded is None:
             raise FileNotFoundError(f"no checkpoint found under {self.output_dir}")
         params, bn_state, _, extras = loaded
