@@ -73,19 +73,24 @@ def main():
         )
 
         folded = fold_decoder_bn(params, bn_state)
-        lat = jnp.asarray(rng.standard_normal((B, 256, 128)).astype(np.float32) * 0.3)
         views = jnp.asarray(rng.uniform(-np.pi, np.pi, (B, V, 2)).astype(np.float32))
-        gates = query_gates(params, views)
+        fargs = (
+            jnp.asarray(batch["data"]), jnp.asarray(batch["input_theta"]),
+            jnp.asarray(batch["rois"]),
+        )
 
         @jax.jit
-        def fused_sum(f, l, g):
-            return fused_decode_views(f, l, g, v_tile=16).sum()
+        def fused_sum(p, f, data, input_theta, rois, v):
+            # full workload: encode once + gates + fused decode of the sweep
+            latent = model.encode(p, data, input_theta, rois).latent_all
+            gates = query_gates(p, v)
+            return fused_decode_views(f, latent, gates, v_tile=16).sum()
 
-        float(fused_sum(folded, lat, gates))  # warm/compile
+        float(fused_sum(params, folded, *fargs, views))  # warm/compile
         ts = []
         for _ in range(5):
             t0 = time.perf_counter()
-            float(fused_sum(folded, lat, gates))
+            float(fused_sum(params, folded, *fargs, views))
             ts.append(time.perf_counter() - t0)
         dev = max(float(np.median(ts)) - rtt, 1e-6)
         results["pallas_fused_f32"] = B * V / dev
