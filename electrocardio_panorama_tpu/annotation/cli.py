@@ -6,6 +6,9 @@
         -> schema + ordering validation
     python -m electrocardio_panorama_tpu.annotation.cli show LABEL.json
         -> per-beat segment table
+    python -m electrocardio_panorama_tpu.annotation.cli plot REC.npy|REC.txt [--label LABEL.json] [--out PNG]
+        -> leads II/V2/V4 with breakpoint overlays (the GUI's plot view,
+           window.py:163-176, as a static image)
 
 The GUI workflow (plot leads, keys 1-6 mark breakpoints, save JSON —
 AnnotationTools/window.py:93-104,221-259) maps to: auto-segment, inspect with
@@ -54,6 +57,12 @@ def main(argv=None):
     p_show = sub.add_parser("show", help="print per-beat segments")
     p_show.add_argument("label")
 
+    p_plot = sub.add_parser("plot", help="plot record leads with breakpoint overlays")
+    p_plot.add_argument("record")
+    p_plot.add_argument("--label", default=None, help="breakpoint JSON (default: record path with .json)")
+    p_plot.add_argument("--out", default=None, help="output PNG (default: record path with _annotated.png)")
+    p_plot.add_argument("--leads", default="1,3,5", help="comma-separated lead indices (default II,V2,V4)")
+
     args = parser.parse_args(argv)
 
     if args.cmd == "segment":
@@ -74,6 +83,37 @@ def main(argv=None):
             print(f"INVALID: {e}")
             return 1
         print(f"OK: {len(bp['P on'])} beats, schema valid")
+        return 0
+
+    if args.cmd == "plot":
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        rec = _load_record(args.record)
+        label_path = args.label or os.path.splitext(args.record)[0] + ".json"
+        bp = load_breakpoints(label_path) if os.path.exists(label_path) else None
+        leads = [int(x) for x in args.leads.split(",")]
+        fig, axes = plt.subplots(len(leads), 1, figsize=(16, 2.2 * len(leads)),
+                                 sharex=True, squeeze=False)
+        colors = {"P on": "g", "P off": "g", "R on": "r", "R off": "r",
+                  "T on": "b", "T off": "b"}
+        for row, li in enumerate(leads):
+            ax = axes[row][0]
+            ax.plot(rec[li], linewidth=0.7, color="k")
+            ax.set_ylabel(f"lead {li}")
+            if bp is not None:
+                for key, xs in bp.items():
+                    for x in xs:
+                        ax.axvline(x, color=colors.get(key, "gray"), alpha=0.4,
+                                   linewidth=0.7)
+        out = args.out or os.path.splitext(args.record)[0] + "_annotated.png"
+        fig.tight_layout()
+        fig.savefig(out, dpi=110)
+        plt.close(fig)
+        n = len(bp["P on"]) if bp else 0
+        print(f"{args.record}: {n} beats overlaid -> {out}")
         return 0
 
     if args.cmd == "show":

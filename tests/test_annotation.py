@@ -122,3 +122,19 @@ def test_auto_segmented_record_feeds_dataset(tmp_path):
     meta = ds.__getitem__(0, rng=np.random.default_rng(0))
     assert meta["data"].shape == (3, 512)
     assert meta["rois"][0, 0] == 0 and meta["rois"][-1, 1] == 512
+
+
+def test_cli_plot(tmp_path):
+    data, _ = synth_record(np.random.default_rng(9), total_len=3000)
+    rec = str(tmp_path / "r.npy")
+    np.save(rec, data)
+    assert anno_cli(["segment", rec]) == 0
+    out = str(tmp_path / "overlay.png")
+    assert anno_cli(["plot", rec, "--out", out]) == 0
+    import os
+
+    assert os.path.getsize(out) > 5000
+    # plot without a label file still renders (no overlays)
+    rec2 = str(tmp_path / "r2.npy")
+    np.save(rec2, data)
+    assert anno_cli(["plot", rec2]) == 0

@@ -245,3 +245,30 @@ def test_solver_orbax_backend_train_and_val(tmp_path):
     assert os.path.isdir(os.path.join(out_dir, "best_valid.orbax"))
     m = solver.val(dl_te, epoch=-1)
     assert np.isfinite(m["psnr_gen"])
+
+
+def test_strip_module_prefix():
+    """DataParallel 'module.' prefixes strip on import (checkpointer.py:73-91)."""
+    import torch
+
+    from electrocardio_panorama_tpu.training.torch_import import import_torch_state_dict
+
+    sd = {"module.mlp1.weight": torch.ones(2, 2), "module.mlp1.bias": torch.zeros(2)}
+    params, state = import_torch_state_dict(sd)
+    assert set(params) == {"mlp1.weight", "mlp1.bias"}
+    # mixed prefixes must NOT strip (same rule as the reference)
+    sd2 = {"module.a.weight": torch.ones(1), "b.weight": torch.ones(1)}
+    params2, _ = import_torch_state_dict(sd2)
+    assert "module.a.weight" in params2
+
+
+def test_scalar_writer_jsonl(tmp_path):
+    import json
+
+    from electrocardio_panorama_tpu.utils import ScalarWriter
+
+    w = ScalarWriter(str(tmp_path), use_tensorboard=False)
+    w.write({"psnr_gen": 21.5, "train_loss_all": 0.1}, step=3)
+    w.close()
+    rows = [json.loads(ln) for ln in open(tmp_path / "scalars.jsonl")]
+    assert rows[0]["step"] == 3 and rows[0]["psnr_gen"] == 21.5
