@@ -84,7 +84,7 @@ def main():
             # full workload: encode once + gates + fused decode of the sweep
             latent = model.encode(p, data, input_theta, rois).latent_all
             gates = query_gates(p, v)
-            return fused_decode_views(f, latent, gates, v_tile=16).sum()
+            return fused_decode_views(f, latent, gates, v_tile=24).sum()
 
         float(fused_sum(params, folded, *fargs, views))  # warm/compile
         ts = []

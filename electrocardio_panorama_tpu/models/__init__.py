@@ -79,7 +79,12 @@ def build_model(cfg):
         return NefNetDef(cfg.DATA.lead_num, cfg.MODEL.theta_L, dtype)
     if cfg.MODEL.model == "model_nefnet2":
         return NefNet2Def(cfg.DATA.lead_num, cfg.MODEL.theta_L, dtype)
-    raise ValueError("build model: model name error")
+    raise ValueError(
+        "build model: model name error "
+        f"(MODEL.model={cfg.MODEL.model!r}; registered: 'model_nefnet', "
+        "'model_nefnet2' — the default config ships with the reference's "
+        "unregistered 'modelv2', so set MODEL.model in your yml or overrides)"
+    )
 
 
 def build_loss(cfg):

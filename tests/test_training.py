@@ -272,3 +272,21 @@ def test_scalar_writer_jsonl(tmp_path):
     w.close()
     rows = [json.loads(ln) for ln in open(tmp_path / "scalars.jsonl")]
     assert rows[0]["step"] == 3 and rows[0]["psnr_gen"] == 21.5
+
+
+def test_solver_paint(tmp_path):
+    """Waveform-grid PNG dumps (reference paint, solver.py:247-277)."""
+    cfg = get_cfg()
+    cfg.desc = "debug"
+    cfg.MODEL.model = "model_nefnet"
+    cfg.DATA.lead_num = 3
+    cfg.output_dir = str(tmp_path)
+    solver = Solver(cfg, use_writer=False)
+    rng = np.random.default_rng(0)
+    target = rng.uniform(0, 1, (2, 512))
+    pred = rng.uniform(0, 1, (2, 512))
+    inputs = rng.uniform(0, 1, (2, 3, 512))
+    solver.paint(target, pred, inputs, epoch=0, flag="train")
+    out_dir = os.path.join(solver.output_dir, "0_train")
+    assert sorted(os.listdir(out_dir)) == ["0.png", "1.png"]
+    assert os.path.getsize(os.path.join(out_dir, "0.png")) > 1000
