@@ -178,3 +178,16 @@ def test_ptb_dataset_end_to_end(tmp_path):
     raw = np.arange(12)[:, None] * np.ones((1, 8))
     re = reorder_ptb_leads(raw)
     np.testing.assert_array_equal(re[:, 0], [0, 1, 6, 7, 8, 9, 10, 11, 2, 3, 4, 5])
+
+
+def test_threaded_loader_matches_synchronous(synthetic_cfg):
+    """num_threads>1 must produce byte-identical batches to the synchronous
+    path (per-(epoch, position) RNG streams are position-keyed, not
+    thread-keyed)."""
+    ds = build_dataset(synthetic_cfg, "train")
+    dl_sync = BeatLoader(ds, batch_size=4, shuffle=True, drop_last=True, seed=5, num_threads=0)
+    dl_thr = BeatLoader(ds, batch_size=4, shuffle=True, drop_last=True, seed=5, num_threads=4)
+    for a, b in zip(dl_sync, dl_thr):
+        np.testing.assert_array_equal(a["data"], b["data"])
+        np.testing.assert_array_equal(a["rois"], b["rois"])
+        np.testing.assert_array_equal(a["noise"], b["noise"])
