@@ -290,3 +290,35 @@ def test_solver_paint(tmp_path):
     out_dir = os.path.join(solver.output_dir, "0_train")
     assert sorted(os.listdir(out_dir)) == ["0.png", "1.png"]
     assert os.path.getsize(os.path.join(out_dir, "0.png")) > 1000
+
+
+def test_eval_whole_sequence_metric_branch(tmp_path):
+    """super_mode ending in '0' (e.g. _1110) has no unseen leads: psnr_gen ==
+    psnr_reg, computed over the WHOLE sequence without rois (reference
+    solver.py:200-206)."""
+    cfg = get_cfg()
+    cfg.desc = "whole0"
+    cfg.DATA.dataset = "synthetic"
+    cfg.DATA.lead_num = 1
+    cfg.DATA.super_mode = "_1110"
+    cfg.DATA.train_data_mode = "normal"
+    cfg.DATA.batch_size = 4
+    cfg.MODEL.model = "model_nefnet"
+    cfg.SOLVER.epochs = 1
+    cfg.TPU.steps_per_epoch = 1
+    cfg.DATA.synthetic_root = str(tmp_path / "synth")
+    cfg.output_dir = str(tmp_path / "out")
+
+    assert gen_lead_count(cfg) == 0
+    ds = build_dataset(cfg, "test")
+    dl = BeatLoader(ds, 4, shuffle=False, drop_last=True, seed=2)
+    solver = Solver(cfg, use_writer=False)
+    import jax
+
+    params, bn = solver.model.init(jax.random.PRNGKey(0))
+    te = solver.run_one_epoch(dl, "test", epoch=0, params=params, bn_state=bn)
+    met = te["metrics"].mean(axis=0)
+    assert met[0] == met[1]  # psnr_gen == psnr_reg
+    assert met[2] == met[3]  # ssim_gen == ssim_reg
+    assert np.isfinite(met).all()
+    assert te["singlelead"] is None  # no per-lead gen metrics in this branch
