@@ -191,3 +191,24 @@ def test_threaded_loader_matches_synchronous(synthetic_cfg):
         np.testing.assert_array_equal(a["data"], b["data"])
         np.testing.assert_array_equal(a["rois"], b["rois"])
         np.testing.assert_array_equal(a["noise"], b["noise"])
+
+
+def test_reference_shipped_yml_loads_unchanged():
+    """The reference's own config file (codes/config/nef_net.yml) must merge
+    into our config tree without edits — key schema + type compatibility."""
+    import os
+
+    ref_yml = "/root/reference/codes/config/nef_net.yml"
+    if not os.path.exists(ref_yml):
+        pytest.skip("reference checkout not mounted")
+    from electrocardio_panorama_tpu.config import load_cfg
+
+    cfg = load_cfg(ref_yml)
+    assert cfg.MODEL.model == "model_nefnet"
+    assert cfg.MODEL.jitter_factor == 2.5
+    assert cfg.SOLVER.loss_factor == [0.5, 0.5, 1]
+    assert cfg.SOLVER.lr == 0.1  # '1e-1' string coerced to float
+    assert cfg.SOLVER.lr_step == [50, 100]
+    assert cfg.DATA.lead_num == 3
+    assert cfg.DATA.super_mode == "IIv2v5_v4I_372"
+    assert cfg.desc == "nef_net"
