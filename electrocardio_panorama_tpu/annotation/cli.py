@@ -93,6 +93,9 @@ def main(argv=None):
 
         rec = _load_record(args.record)
         label_path = args.label or os.path.splitext(args.record)[0] + ".json"
+        if args.label and not os.path.exists(args.label):
+            print(f"ERROR: --label {args.label} does not exist")
+            return 1
         bp = load_breakpoints(label_path) if os.path.exists(label_path) else None
         leads = [int(x) for x in args.leads.split(",")]
         fig, axes = plt.subplots(len(leads), 1, figsize=(16, 2.2 * len(leads)),

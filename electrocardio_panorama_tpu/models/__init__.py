@@ -68,6 +68,41 @@ class NefNet2Def:
         )
         self.decode_views = partial(decode_views, theta_encoder_len=theta_encoder_len)
 
+    def encode(self, params, x, input_thetas, rois, *, rng=None, train=False,
+               stop_before_reverse=False):
+        """NefNetLatents-compatible encode so the panorama/render paths work
+        with Nef-Net2. Pre-reverse latent export is unsupported: the reference
+        Nef-Net2's own gen/gen_ecg pair is shape-inconsistent dead code
+        (model_nefnet2.py:159-160 vs 205-218)."""
+        if stop_before_reverse:
+            raise NotImplementedError(
+                "Nef-Net2 has no pre-reverse latent export (the reference's "
+                "phase='gen' returns post-reverse lead means); use "
+                "model_nefnet for the latent-prior/synthesis workflow"
+            )
+        from electrocardio_panorama_tpu.models.nefnet2 import encode_latents2
+
+        z1_leads, z2_leads = encode_latents2(
+            params, x, input_thetas, rois, lead_num=self.lead_num,
+            theta_encoder_len=self.theta_encoder_len, rng=rng, train=train,
+        )
+        B = x.shape[0]
+        z1_mean = z1_leads.mean(axis=1)
+        z2_mean = z2_leads.mean(axis=1)
+        return NefNetLatents(
+            z1=z1_leads.reshape(B, -1, z1_leads.shape[-1]),
+            z2=z2_leads.reshape(B, -1, z2_leads.shape[-1]),
+            z1_mean=z1_mean, z2_mean=z2_mean,
+            latent_all=jnp.concatenate([z1_mean, z2_mean], axis=1),
+        )
+
+    def gen_ecg(self, *args, **kwargs):
+        raise NotImplementedError(
+            "Nef-Net2's gen_ecg is inconsistent dead code in the reference "
+            "(model_nefnet2.py:205-218 expects pre-reverse grids that its own "
+            "gen phase never produces); use model_nefnet for synthesis"
+        )
+
 
 def build_model(cfg):
     """Registry: 'model_nefnet' matches the reference registry

@@ -146,15 +146,20 @@ def _decoder_kernel(latent_ref, gates_ref, u1_ref, u2_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("v_tile", "interpret", "mxu_bf16"))
-def fused_decode_views(folded: dict, latent_all, gates, *, v_tile: int = 8,
+def fused_decode_views(folded: dict, latent_all, gates, *, v_tile: int = 24,
                        interpret: bool = False, mxu_bf16: bool = False):
     """latent_all: [B, 256, 128]; gates: [B, V, 256] (query_gates output).
-    Returns [B, V, 512]. V must be a multiple of v_tile (pad gates if not —
-    see fused_decode_views_padded)."""
+    Returns [B, V, 512]. V is padded up to a multiple of v_tile with zero
+    gates internally and the output trimmed back."""
     B, V = gates.shape[0], gates.shape[1]
-    assert V % v_tile == 0, f"V={V} not divisible by v_tile={v_tile}"
+    pad = (-V) % v_tile
+    if pad:
+        gates = jnp.concatenate(
+            [gates, jnp.zeros((B, pad, gates.shape[2]), gates.dtype)], axis=1
+        )
+    Vp = V + pad
     dtype = latent_all.dtype
-    n_vt = V // v_tile
+    n_vt = Vp // v_tile
 
     weight_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12
     kernel = functools.partial(
@@ -170,7 +175,7 @@ def fused_decode_views(folded: dict, latent_all, gates, *, v_tile: int = 8,
             *weight_specs,
         ],
         out_specs=pl.BlockSpec((1, v_tile, SEQ), lambda b, v: (b, v, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, V, SEQ), dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Vp, SEQ), dtype),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -182,4 +187,4 @@ def fused_decode_views(folded: dict, latent_all, gates, *, v_tile: int = 8,
         folded["w3"], folded["b3"], folded["w4"], folded["b4"],
         folded["w5"], folded["b5"],
     )
-    return out
+    return out[:, :V] if pad else out

@@ -47,7 +47,15 @@ def ensure_initialized() -> bool:
 
 
 def local_batch_slice(global_batch: int) -> slice:
-    """The [start, stop) slice of the global batch this process should load."""
-    per = global_batch // jax.process_count()
+    """The [start, stop) slice of the global batch this process should load.
+
+    Raises when the global batch does not divide evenly — silently dropping
+    the remainder would desync hosts at array-assembly time."""
+    n = jax.process_count()
+    if global_batch % n:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by {n} processes"
+        )
+    per = global_batch // n
     start = jax.process_index() * per
     return slice(start, start + per)

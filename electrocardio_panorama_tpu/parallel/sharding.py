@@ -20,16 +20,15 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from electrocardio_panorama_tpu.models.losses import l1, mse, standin_l1
+from electrocardio_panorama_tpu.models.losses import loss_wrapper
 
 
 def build_dp_train_step(model_def, cfg, tx, mesh: Mesh, axis: str = "data"):
     """Jitted shard_map train step. Batch arrays must be sharded on `axis`
-    (leading dim divisible by the axis size); params/opt replicated."""
+    (leading dim divisible by the axis size); params/opt replicated. Loss
+    components come from loss_wrapper (already loss_factor-scaled) so dp and
+    single-device runs log identical quantities."""
     use_noise = bool(cfg.DATA.noise)
-    reg = {"l2_loss": mse, "l1_loss": l1}[cfg.SOLVER.reg_loss]
-    f = cfg.SOLVER.loss_factor
-    using = cfg.SOLVER.loss_using
 
     def local_step(params, bn_state, opt_state, rng, i1, i2,
                    data, input_theta, target_theta, rois, target_view, noise):
@@ -43,11 +42,7 @@ def build_dp_train_step(model_def, cfg, tx, mesh: Mesh, axis: str = "data"):
             )
             if use_noise:
                 out = out + noise[:, None, :]
-            tv = target_view[:, None, :]
-            lo1 = standin_l1(out, sp) if 1 in using else 0.0
-            lo2 = standin_l1(out, sl) if 2 in using else 0.0
-            lo3 = reg(out, tv) if 3 in using else 0.0
-            loss = lo1 * f[0] + lo2 * f[1] + lo3 * f[2]
+            loss, lo1, lo2, lo3 = loss_wrapper(out, sp, sl, target_view[:, None, :], cfg)
             return loss, (lo1, lo2, lo3, new_bn)
 
         (loss, (lo1, lo2, lo3, new_bn)), grads = jax.value_and_grad(

@@ -72,14 +72,37 @@ def export_latents(cfg, max_batches=None, batch_size=8):
     return n
 
 
-def fit_prior(cfg, max_batches=8, batch_size=8):
-    model, params, bn_state = _load_model(cfg)
-    ds = build_dataset(cfg, "test")
-    dl = BeatLoader(ds, batch_size, shuffle=False, drop_last=False, seed=cfg.seed)
-    prior = GaussianLatentPrior.fit(model, params, iter(dl), max_batches=max_batches)
+def fit_prior(cfg, max_batches=8, batch_size=8, loaded=None):
+    """Fit the Gaussian prior. Prefers latents previously saved by
+    export-latents (latent_save_dir/latents_*.npz); falls back to encoding
+    up to max_batches fresh test batches."""
+    import glob
+
+    shards = sorted(glob.glob(os.path.join(cfg.latent_save_dir, "latents_*.npz")))
+    if shards:
+        z1s, z2s, rois = [], [], None
+        for s in shards:
+            z = np.load(s)
+            z1s.append(z["z1"])
+            z2s.append(z["z2"])
+            if rois is None:
+                rois = z["rois"][0]
+        z1 = np.concatenate(z1s)
+        z2 = np.concatenate(z2s)
+        eps = 1e-6
+        prior = GaussianLatentPrior(
+            z1.mean(0), z1.std(0) + eps, z2.mean(0), z2.std(0) + eps, rois
+        )
+        print(f"prior fitted from {len(shards)} exported shard(s) ({z1.shape[0]} latents)")
+    else:
+        model, params, bn_state = loaded or _load_model(cfg)
+        ds = build_dataset(cfg, "test")
+        dl = BeatLoader(ds, batch_size, shuffle=False, drop_last=False, seed=cfg.seed)
+        prior = GaussianLatentPrior.fit(model, params, iter(dl), max_batches=max_batches)
+        print(f"prior fitted from {max_batches} freshly encoded batch(es)")
     path = os.path.join(cfg.latent_save_dir, "prior.npz")
     prior.save(path)
-    print(f"prior fitted -> {path}")
+    print(f"prior -> {path}")
     return path
 
 
@@ -95,10 +118,11 @@ def _grid_dims(n_views: int) -> tuple[int, int]:
 
 def generate(cfg, n=8, n_views=24, out_path=None, plot_path=None, seed=0,
              temperature=1.0):
-    model, params, bn_state = _load_model(cfg)
+    loaded = _load_model(cfg)
+    model, params, bn_state = loaded
     prior_path = os.path.join(cfg.latent_save_dir, "prior.npz")
     if not os.path.exists(prior_path):
-        fit_prior(cfg)
+        fit_prior(cfg, loaded=loaded)
     prior = GaussianLatentPrior.load(prior_path)
     nt, np_ = _grid_dims(n_views)
     views = theta_grid(nt, np_)
@@ -127,6 +151,8 @@ if __name__ == "__main__":
     parser.add_argument("--plot", default=None)
     parser.add_argument("--max-batches", type=int, default=None)
     parser.add_argument("--temperature", type=float, default=1.0)
+    parser.add_argument("--seed", type=int, default=None,
+                        help="sampling seed (default: cfg.seed)")
     parser.add_argument("opts", nargs="*", default=[], help="KEY VALUE overrides")
     args = parser.parse_args()
     cfg = cfg_from_args(args)
@@ -137,4 +163,5 @@ if __name__ == "__main__":
         fit_prior(cfg, args.max_batches or 8)
     else:
         generate(cfg, args.n, args.views, args.out, args.plot,
+                 seed=cfg.seed if args.seed is None else args.seed,
                  temperature=args.temperature)

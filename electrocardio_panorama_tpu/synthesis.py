@@ -83,17 +83,10 @@ class PanoramaGenerator:
             from electrocardio_panorama_tpu.models.nefnet import query_gates
             from electrocardio_panorama_tpu.ops.pallas.decoder_fused import fused_decode_views
 
-            V = v.shape[1]
-            pad = (-V) % self.v_tile
             gates = query_gates(
                 self.params, v, theta_encoder_len=self.model.theta_encoder_len
             )
-            if pad:
-                gates = jnp.concatenate(
-                    [gates, jnp.zeros((gates.shape[0], pad, 256), gates.dtype)], axis=1
-                )
-            out = fused_decode_views(self._folded, latent, gates, v_tile=self.v_tile)
-            return out[:, :V]
+            return fused_decode_views(self._folded, latent, gates, v_tile=self.v_tile)
         return self._decode(self.params, self.bn_state, latent, v)
 
     def render_dataset(self, loader, views: np.ndarray, out_path: str | None = None,
@@ -127,7 +120,7 @@ def plot_panorama(rest_out: np.ndarray, rois: np.ndarray, sample: int, path: str
     end = max(int(rois[sample, -1, 0]) - 20, 8)
     waves = rest_out[sample].reshape(n_theta, n_phi, -1)
     fig, axes = plt.subplots(n_phi, n_theta, figsize=(2 * n_theta, 1.2 * n_phi),
-                             sharex=True, sharey=True)
+                             sharex=True, sharey=True, squeeze=False)
     for i in range(n_theta):
         for j in range(n_phi):
             axes[j][i].plot(waves[i, j, :end], linewidth=0.8)
