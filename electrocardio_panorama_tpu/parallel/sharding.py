@@ -23,17 +23,26 @@ from jax.sharding import Mesh, PartitionSpec as P
 from electrocardio_panorama_tpu.models.losses import loss_wrapper
 
 
-def build_dp_train_step(model_def, cfg, tx, mesh: Mesh, axis: str = "data"):
+def build_dp_train_step(model_def, cfg, tx, mesh: Mesh, axis: str = "data",
+                        *, deterministic: bool = False):
     """Jitted shard_map train step. Batch arrays must be sharded on `axis`
     (leading dim divisible by the axis size); params/opt replicated. Loss
     components come from loss_wrapper (already loss_factor-scaled) so dp and
-    single-device runs log identical quantities."""
+    single-device runs log identical quantities.
+
+    With ``deterministic=True`` dropout is disabled (rng ignored), which makes
+    the step bit-compatible with the single-device Solver step on the same
+    full batch — the full-batch psum-synced BN plus pmean'd grads reproduce
+    the single-device update exactly (pinned by tests/test_sharding.py).
+    """
     use_noise = bool(cfg.DATA.noise)
 
     def local_step(params, bn_state, opt_state, rng, i1, i2,
                    data, input_theta, target_theta, rois, target_view, noise):
         # decorrelate dropout across shards
-        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        rng = None if deterministic else jax.random.fold_in(
+            rng, jax.lax.axis_index(axis)
+        )
 
         def loss_fn(p):
             (out, sp, sl), new_bn = model_def.apply(

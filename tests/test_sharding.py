@@ -50,9 +50,9 @@ def test_eight_devices_available():
 
 
 def test_dp_train_step_runs_and_matches_replicas(cfg):
-    """The shard_map dp step must produce identical replicated params on all
-    shards and finite losses; with dropout disabled it must match the
-    single-device step's gradients (full-batch BN sync makes them identical)."""
+    """Smoke: the shard_map dp step (dropout ON, per-shard rng) produces
+    finite losses, replicated updated params, and updated synced BN stats.
+    Exact parity with the single-device step is pinned separately below."""
     mesh = make_mesh((8,), ("data",))
     model = build_model(cfg)
     tx = get_optimizer(cfg)
@@ -74,10 +74,6 @@ def test_dp_train_step_runs_and_matches_replicas(cfg):
         mesh,
     )
     step = build_dp_train_step(model, cfg, tx, mesh)
-    # rng=None is not allowed inside shard_map-land; use a real key but note
-    # dropout fires (train mode). For the parity check we run the single-device
-    # step with the SAME per-shard semantics is impractical — instead check
-    # determinism + finiteness + replication here.
     new_p, new_bn, new_opt, losses = step(
         params_r, bn_r, opt_r, jax.random.PRNGKey(7),
         jnp.asarray(1), jnp.asarray(0), *arrays,
@@ -91,6 +87,66 @@ def test_dp_train_step_runs_and_matches_replicas(cfg):
     assert not np.allclose(
         np.asarray(new_bn["decoder.1.double_conv.1.running_mean"]), bn_mean_before
     )
+
+
+def test_dp_train_step_exact_parity_with_single_device(cfg, tmp_path):
+    """With dropout off (deterministic=True) and a fixed shuffle_idx, the
+    8-shard dp step must compute the SAME params/grads/BN stats as the
+    single-device Solver._train_step on the same batch: pmean'd per-shard
+    grads equal the full-batch gradient, and the psum-synced BN
+    (ops/convs.py batch_norm1d axis_name branch) equals full-batch BN."""
+    from electrocardio_panorama_tpu.training.solver import Solver
+
+    mesh = make_mesh((8,), ("data",))
+    model = build_model(cfg)
+    tx = get_optimizer(cfg)
+    rng_np = np.random.default_rng(42)
+    batch = make_batch(rng_np, B=16)
+    params, bn_state = model.init(jax.random.PRNGKey(3))
+    opt_state = tx.init(params)
+    arrays_host = (
+        jnp.asarray(batch["data"]), jnp.asarray(batch["input_theta"]),
+        jnp.asarray(batch["target_theta"]), jnp.asarray(batch["rois"]),
+        jnp.asarray(batch["target_view"]), jnp.asarray(batch["noise"]),
+    )
+    i1, i2 = jnp.asarray(1), jnp.asarray(2)
+
+    # host copies: both steps donate their (params, bn, opt) buffers
+    def copy(t):
+        return jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), t)
+
+    # --- single-device step (rng=None => dropout no-op throughout the stack)
+    scfg = cfg.clone()
+    scfg.output_dir = str(tmp_path)
+    solver = Solver(scfg, use_writer=False)  # TPU.mesh_shape=[] => mesh None
+    p1, bn1, opt1, lvec1 = solver._train_step(
+        copy(params), copy(bn_state), copy(opt_state), None, i1, i2, *arrays_host
+    )
+
+    # --- dp step over 8 shards of 2
+    step = build_dp_train_step(model, cfg, tx, mesh, deterministic=True)
+    p2, bn2, opt2, lvec2 = step(
+        put_replicated(copy(params), mesh), put_replicated(copy(bn_state), mesh),
+        put_replicated(copy(opt_state), mesh), jax.random.PRNGKey(0),
+        i1, i2, *put_batch(arrays_host, mesh),
+    )
+
+    np.testing.assert_allclose(np.asarray(lvec2), np.asarray(lvec1), rtol=0, atol=2e-6)
+    for k in p1:
+        np.testing.assert_allclose(
+            np.asarray(p2[k]), np.asarray(p1[k]), rtol=0, atol=5e-6,
+            err_msg=f"param {k} diverged between dp and single-device step",
+        )
+    for k in bn1:
+        np.testing.assert_allclose(
+            np.asarray(bn2[k]), np.asarray(bn1[k]), rtol=0, atol=5e-6,
+            err_msg=f"bn state {k} diverged between dp and single-device step",
+        )
+    # momentum buffers too (same grads => same opt state)
+    flat1, _ = jax.tree.flatten(opt1)
+    flat2, _ = jax.tree.flatten(opt2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=0, atol=5e-6)
 
 
 def test_view_sharded_panorama_matches_single_device(cfg):
