@@ -10,9 +10,12 @@
         -> leads II/V2/V4 with breakpoint overlays (the GUI's plot view,
            window.py:163-176, as a static image)
 
-The GUI workflow (plot leads, keys 1-6 mark breakpoints, save JSON —
-AnnotationTools/window.py:93-104,221-259) maps to: auto-segment, inspect with
-`show`, hand-edit the JSON, re-`validate`.
+    python -m electrocardio_panorama_tpu.annotation.cli annotate REC.npy|REC.txt
+        -> INTERACTIVE marker (requires a display): crosshair follows the
+           mouse over leads II/V2/V4; keys 1-6 append the cursor x to the six
+           breakpoint lists, u undoes, s saves {record}.json, n/p walk the
+           directory — the reference GUI's live labeling loop
+           (AnnotationTools/window.py:93-104,221-259) without Qt.
 """
 
 from __future__ import annotations
@@ -56,6 +59,11 @@ def main(argv=None):
 
     p_show = sub.add_parser("show", help="print per-beat segments")
     p_show.add_argument("label")
+
+    p_ann = sub.add_parser("annotate", help="interactive breakpoint marker (needs a display)")
+    p_ann.add_argument("record")
+    p_ann.add_argument("--leads", default="1,3,5", help="comma-separated lead indices (default II,V2,V4)")
+    p_ann.add_argument("--no-preload", action="store_true", help="start blank even if {record}.json exists")
 
     p_plot = sub.add_parser("plot", help="plot record leads with breakpoint overlays")
     p_plot.add_argument("record")
@@ -117,6 +125,16 @@ def main(argv=None):
         plt.close(fig)
         n = len(bp["P on"]) if bp else 0
         print(f"{args.record}: {n} beats overlaid -> {out}")
+        return 0
+
+    if args.cmd == "annotate":
+        from electrocardio_panorama_tpu.annotation.interactive import annotate
+
+        leads = tuple(int(x) for x in args.leads.split(","))
+        names = tuple(f"lead {i}" for i in leads) if leads != (1, 3, 5) else ("II", "V2", "V4")
+        ann = annotate(args.record, leads=leads, lead_names=names,
+                       preload=not args.no_preload)
+        ann.run()
         return 0
 
     if args.cmd == "show":

@@ -138,3 +138,59 @@ def test_cli_plot(tmp_path):
     rec2 = str(tmp_path / "r2.npy")
     np.save(rec2, data)
     assert anno_cli(["plot", rec2]) == 0
+
+
+def test_interactive_annotator_headless(tmp_path):
+    """The interactive marker's full loop, driven by synthetic canvas events
+    on the Agg backend: crosshair motion -> keys 1-6 mark at the cursor ->
+    undo -> save -> next-file autosave (reference window.py:93-104,135-161,
+    221-259)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib.backend_bases import KeyEvent, MouseEvent
+
+    from electrocardio_panorama_tpu.annotation.interactive import annotate
+
+    data, _ = synth_record(np.random.default_rng(3), total_len=3000)
+    np.save(tmp_path / "1.npy", data)
+    np.save(tmp_path / "2.npy", data)
+    ann = annotate(str(tmp_path / "1.npy"))
+    assert [np.load(f) is not None for f in ann.files] and len(ann.files) == 2
+
+    def move_to(x_data):
+        ax = ann.axes[0]
+        px, py = ax.transData.transform((x_data, float(np.mean(data[1]))))
+        ev = MouseEvent("motion_notify_event", ann.fig.canvas, px, py)
+        ann.fig.canvas.callbacks.process("motion_notify_event", ev)
+
+    def press(key):
+        ev = KeyEvent("key_press_event", ann.fig.canvas, key)
+        ann.fig.canvas.callbacks.process("key_press_event", ev)
+
+    # mark one full beat: P on@100 .. T off@600, through the event pipeline
+    for key, x in zip("123456", [100, 150, 250, 320, 450, 600]):
+        move_to(x)
+        press(key)
+    assert ann.cursor_x == pytest.approx(600, abs=1)
+    assert [p[0] for p in ann.points] == [100, 150, 250, 320, 450, 600]
+
+    # undo removes the most recent mark (T off)
+    press("u")
+    assert ann.points[5] == []
+
+    # re-mark and save -> schema-valid JSON next to the record
+    move_to(600)
+    press("6")
+    press("s")
+    bp = load_breakpoints(str(tmp_path / "1.json"))
+    assert bp["P on"] == [100] and bp["T off"] == [600]
+
+    # next file: autosaves (already saved), loads 2.npy blank
+    press("n")
+    assert ann.record_path.endswith("2.npy")
+    assert all(not p for p in ann.points)
+    # prev file: preloads the saved labels for editing
+    press("p")
+    assert ann.record_path.endswith("1.npy")
+    assert ann.points[0] == [100]
