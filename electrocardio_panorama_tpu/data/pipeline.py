@@ -97,20 +97,34 @@ class BeatLoader:
         if not self.drop_last and len(order) % self.batch_size:
             ends = len(order)
 
-        def fetch(span):
-            lo, hi = span
-            idxs = order[lo:hi]
-            if self.num_threads > 1:
-                with ThreadPoolExecutor(self.num_threads) as pool:
-                    metas = list(pool.map(lambda t: self._example(int(t[1]), lo + t[0]), enumerate(idxs)))
-            else:
-                metas = [self._example(int(ix), lo + off) for off, ix in enumerate(idxs)]
-            return collate(metas)
-
         spans = [
             (b * self.batch_size, min((b + 1) * self.batch_size, ends))
             for b in range((ends + self.batch_size - 1) // self.batch_size)
         ]
-        for span in spans:
-            yield fetch(span)
+        if self.num_threads > 1:
+            # one pool per epoch (not per batch), with a one-batch lookahead:
+            # batch i+1 assembles on the pool while the caller consumes batch i
+            pool = ThreadPoolExecutor(self.num_threads)
+            try:
+                def fetch(span):
+                    lo, hi = span
+                    return collate(list(pool.map(
+                        lambda t: self._example(int(t[1]), lo + t[0]),
+                        enumerate(order[lo:hi]),
+                    )))
+
+                pending = pool.submit(fetch, spans[0]) if spans else None
+                for nxt in spans[1:]:
+                    batch, pending = pending.result(), pool.submit(fetch, nxt)
+                    yield batch
+                if pending is not None:
+                    yield pending.result()
+            finally:
+                pool.shutdown(wait=False, cancel_futures=True)
+        else:
+            for lo, hi in spans:
+                yield collate([
+                    self._example(int(ix), lo + off)
+                    for off, ix in enumerate(order[lo:hi])
+                ])
         self.epoch += 1
