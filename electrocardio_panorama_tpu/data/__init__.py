@@ -55,7 +55,11 @@ def build_dataset(cfg, phase: str):
         if not os.path.exists(marker):
             from electrocardio_panorama_tpu.data.synthetic import generate_tianchi_dataset
 
-            overrides = generate_tianchi_dataset(root)
+            overrides = generate_tianchi_dataset(
+                root,
+                n_train=int(getattr(cfg.DATA, "synthetic_n_train", 16)),
+                n_test=int(getattr(cfg.DATA, "synthetic_n_test", 8)),
+            )
         else:
             overrides = {
                 "train_label_path": f"{root}/tianchi_train_jsons.txt",
