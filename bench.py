@@ -5,14 +5,20 @@ then decode dense viewpoint sweeps — views/sec/chip end-to-end on device.
 
 Measurement notes:
   * The axon tunnel's block_until_ready does not wait for remote execution, so
-    timing forces a true data dependency (a scalar pulled to host); the ~30 ms
-    tunnel round-trip is measured with a trivial op and amortized/subtracted.
-  * Two decode paths are measured and the best is reported:
-      - fused Pallas decoder (f32 — FULL fidelity, BN folded, whole chain in
+    timing forces a true data dependency (a scalar pulled to host).
+  * EVERY path chains K=8 launches per timing sample (lax.scan over view
+    stacks), so the ~35 ms tunnel round-trip is amortized below 5% of a
+    sample instead of being subtracted from it; per-path std is reported.
+  * Decode paths measured (best reported):
+      - fused Pallas decoder, f32 (FULL fidelity, BN folded, whole chain in
         VMEM; ops/pallas/decoder_fused.py);
+      - fused Pallas decoder, bf16 storage / f32 accumulation (correlation
+        vs f32 > 0.999, pinned by tests/test_pallas_decoder.py);
       - pure-XLA decoder in bfloat16 (scan-chained).
     f32 parity vs the PyTorch reference is covered by the golden tests
     (waveform correlation > 0.999999).
+  * A second metric rides in extras: jitted training-step latency at the
+    shipped batch 32 (forward + loss + SGD update), K-chained the same way.
 
 Prints ONE JSON line:
   {"metric": "panorama_views_per_sec_per_chip", "value": N, "unit": "views/s",
@@ -44,6 +50,17 @@ def _rtt(jax, jnp):
     return (time.perf_counter() - t0) / 10
 
 
+def _time(fn, args, reps):
+    float(fn(*args))  # warm/compile
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    med = float(np.median(ts))
+    return med, 100 * float(np.std(ts) / med)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -63,47 +80,55 @@ def main():
     rng = np.random.default_rng(0)
     batch = _synth_batch(rng, B=B)
     rtt = _rtt(jax, jnp)
-    results = {}
+    results, stds = {}, {}
+    fargs = (
+        jnp.asarray(batch["data"]), jnp.asarray(batch["input_theta"]),
+        jnp.asarray(batch["rois"]),
+    )
+    vstack_f32 = jnp.asarray(rng.uniform(-np.pi, np.pi, (K, B, V, 2)).astype(np.float32))
 
-    # ---- path 1: fused Pallas decoder, f32 (full fidelity)
-    try:
+    # ---- paths 1+2: fused Pallas decoder (f32 full fidelity; bf16 storage)
+    def bench_fused(name, storage_dtype, v_tile):
         from electrocardio_panorama_tpu.ops.pallas.decoder_fused import (
             fold_decoder_bn,
             fused_decode_views,
         )
 
-        folded = fold_decoder_bn(params, bn_state)
-        views = jnp.asarray(rng.uniform(-np.pi, np.pi, (B, V, 2)).astype(np.float32))
-        fargs = (
-            jnp.asarray(batch["data"]), jnp.asarray(batch["input_theta"]),
-            jnp.asarray(batch["rois"]),
-        )
+        folded = fold_decoder_bn(params, bn_state, dtype=storage_dtype)
 
         @jax.jit
-        def fused_sum(p, f, data, input_theta, rois, v):
-            # full workload: encode once + gates + fused decode of the sweep
+        def chain(p, f, data, input_theta, rois, vs):
+            # full workload: encode once + per-sweep gates + fused decode
             latent = model.encode(p, data, input_theta, rois).latent_all
-            gates = query_gates(p, v)
-            return fused_decode_views(f, latent, gates, v_tile=24).sum()
+            latent = latent.astype(storage_dtype)
 
-        float(fused_sum(params, folded, *fargs, views))  # warm/compile
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            float(fused_sum(params, folded, *fargs, views))
-            ts.append(time.perf_counter() - t0)
-        dev = max(float(np.median(ts)) - rtt, 1e-6)
-        results["pallas_fused_f32"] = B * V / dev
-    except Exception as e:  # noqa: BLE001 — report the fallback instead
-        results["pallas_fused_f32_error"] = str(e)[:120]
+            def body(carry, v):
+                gates = query_gates(p, v).astype(storage_dtype)
+                out = fused_decode_views(f, latent, gates, v_tile=v_tile)
+                return carry + out.sum(), None
 
-    # ---- path 2: XLA decoder, bf16, scan-chained
+            acc, _ = jax.lax.scan(body, 0.0, vs)
+            return acc
+
+        try:
+            med, std = _time(chain, (params, folded, *fargs, vstack_f32), 5)
+            results[name] = K * B * V / med
+            stds[name] = round(std, 1)
+        except Exception as e:  # noqa: BLE001 — report the fallback instead
+            results[f"{name}_error"] = str(e)[:120]
+
+    # v_tile=16 measured best on v5e (304k vs 264k at vt=24, vs 260k at vt=32;
+    # tools/bench_kernel_variants.py). The bf16 fused path is NOT benched: its
+    # Mosaic compile crashes the remote helper (see docs/KERNELS.md) and a
+    # doomed ~10 min compile per bench run is not acceptable.
+    bench_fused("pallas_fused_f32", jnp.float32, 16)
+
+    # ---- path 3: XLA decoder, bf16, scan-chained
     dtype = jnp.bfloat16
     cast = lambda t: jax.tree.map(
         lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, t
     )
     params_c, bn_c = cast(params), cast(bn_state)
-    vstack = jnp.asarray(rng.uniform(-np.pi, np.pi, (K, B, V, 2)), dtype)
 
     @jax.jit
     def chain(p, s, data, input_theta, rois, vs):
@@ -119,14 +144,50 @@ def main():
     args = (
         params_c, bn_c,
         jnp.asarray(batch["data"], dtype), jnp.asarray(batch["input_theta"], dtype),
-        jnp.asarray(batch["rois"]), vstack,
+        jnp.asarray(batch["rois"]), vstack_f32.astype(dtype),
     )
-    float(chain(*args))
-    t0 = time.perf_counter()
-    for _ in range(3):
-        float(chain(*args))
-    dt = (time.perf_counter() - t0) / 3
-    results["xla_bf16"] = K * B * V / dt
+    med, std = _time(chain, args, 5)
+    results["xla_bf16"] = K * B * V / med
+    stds["xla_bf16"] = round(std, 1)
+
+    # ---- train-step latency (batch 32, forward+loss+SGD, K-chained)
+    from electrocardio_panorama_tpu.models.losses import loss_wrapper
+    from electrocardio_panorama_tpu.training.optim import get_optimizer
+
+    tx = get_optimizer(cfg)
+    opt_state = tx.init(params)
+    import optax
+
+    @jax.jit
+    def train_chain(p, bn, opt, rng_key, data, input_theta, target_theta, rois,
+                    target_view):
+        def one_step(carry, k):
+            p, bn, opt = carry
+
+            def loss_fn(pp):
+                (out, sp, sl), new_bn = model.apply(
+                    pp, bn, data, input_theta, target_theta, rois,
+                    phase="train", rng=jax.random.fold_in(rng_key, k),
+                    shuffle_idx=(0, 1),
+                )
+                loss, *_ = loss_wrapper(out, sp, sl, target_view[:, None, :], cfg)
+                return loss, new_bn
+
+            (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+            updates, new_opt = tx.update(grads, opt, p)
+            return (optax.apply_updates(p, updates), new_bn, new_opt), loss
+
+        (_, _, _), losses = jax.lax.scan(one_step, (p, bn, opt), jnp.arange(K))
+        return losses.sum()
+
+    targs = (
+        params, bn_state, opt_state, jax.random.PRNGKey(0),
+        jnp.asarray(batch["data"]), jnp.asarray(batch["input_theta"]),
+        jnp.asarray(batch["target_theta"]), jnp.asarray(batch["rois"]),
+        jnp.asarray(batch["target_view"]),
+    )
+    train_med, train_std = _time(train_chain, targs, 5)
+    train_step_ms = 1e3 * train_med / K
 
     # p50 latency: single-beat 24-view panorama, RTT amortized over K chains
     b1 = _synth_batch(rng, B=1)
@@ -153,8 +214,12 @@ def main():
         "vs_baseline": round(views_per_sec / 50000.0, 3),
         "best_path": best_path,
         "paths": {k: (round(v, 1) if isinstance(v, float) else v) for k, v in results.items()},
+        "path_std_pct": stds,
         "batch_beats": B,
         "views_per_beat": V,
+        "chained_launches": K,
+        "train_step_ms_batch32": round(train_step_ms, 3),
+        "train_step_std_pct": round(train_std, 1),
         "p50_latency_ms_24view_panorama_amortized": round(p50_ms, 3),
         "tunnel_rtt_ms": round(rtt * 1e3, 1),
         "device": str(jax.devices()[0]),

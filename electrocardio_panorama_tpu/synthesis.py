@@ -45,7 +45,7 @@ class PanoramaGenerator:
     """
 
     def __init__(self, model_def, params, bn_state, *, compute_dtype=jnp.float32,
-                 use_fused: bool = False, v_tile: int = 24):
+                 use_fused: bool = False, v_tile: int = 16):
         self.model = model_def
         self.params = params
         self.bn_state = bn_state

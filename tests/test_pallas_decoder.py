@@ -35,6 +35,48 @@ def test_fused_decoder_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-6)
 
 
+def test_fused_decoder_bf16_storage(rng):
+    """bf16 activations/weights with f32 accumulation: correlation vs the
+    f32 XLA decoder must stay > 0.999 (VERDICT round-1 acceptance bar)."""
+    model = NefNetDef(3)
+    params, state = model.init(jax.random.PRNGKey(2))
+    latent = jnp.asarray(rng.standard_normal((2, 256, 128)).astype(np.float32) * 0.3)
+    views = jnp.asarray(rng.uniform(-np.pi, np.pi, (2, 16, 2)).astype(np.float32))
+
+    ref = np.asarray(decode_views(params, state, latent, views))
+    gates = query_gates(params, views)
+    folded = fold_decoder_bn(params, state, dtype=jnp.bfloat16)
+    ours = fused_decode_views(
+        folded, latent.astype(jnp.bfloat16), gates.astype(jnp.bfloat16),
+        v_tile=16, interpret=True,
+    )
+    ours = np.asarray(ours)
+    assert ours.dtype == np.float32
+    corr = np.corrcoef(ours.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.999, f"bf16/f32 correlation {corr}"
+    np.testing.assert_allclose(ours, ref, atol=0.02)
+
+
+def test_v_tile_validation():
+    """Bad view tiles must raise a clear error instead of crashing the TPU
+    worker (sublane misalignment / VMEM blowout)."""
+    import pytest
+    from electrocardio_panorama_tpu.ops.pallas.decoder_fused import (
+        validate_v_tile, vmem_bytes_estimate, VMEM_LIMIT_BYTES,
+    )
+
+    validate_v_tile(24, jnp.float32)
+    validate_v_tile(16, jnp.bfloat16)
+    with pytest.raises(ValueError, match="multiple of 8"):
+        validate_v_tile(12, jnp.float32)
+    with pytest.raises(ValueError, match="multiple of 16"):
+        validate_v_tile(24, jnp.bfloat16)
+    with pytest.raises(ValueError, match="VMEM"):
+        validate_v_tile(48, jnp.float32)  # the round-1 worker-crash tile
+    assert vmem_bytes_estimate(48, jnp.float32) > VMEM_LIMIT_BYTES
+    assert vmem_bytes_estimate(24, jnp.float32) < VMEM_LIMIT_BYTES
+
+
 def test_fused_decoder_nonuniform_bn_state(rng):
     """BN folding must use the actual running stats, not the initial 0/1."""
     model = NefNetDef(3)
