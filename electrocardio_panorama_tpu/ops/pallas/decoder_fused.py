@@ -73,8 +73,10 @@ def fold_decoder_bn(params: dict, state: dict, dtype=jnp.float32) -> dict:
             w = w * inv[:, None, None]
             b = (b - mean) * inv + offset
         w_cat = jnp.concatenate([w[:, :, 0], w[:, :, 1], w[:, :, 2]], axis=1)
-        # conv5 stays f32 in-kernel regardless of the storage dtype
-        out[f"w{i}"] = w_cat.astype(jnp.float32 if bn is None else dtype)
+        # convs 4-5 (the f32 tail) stay f32 regardless of the storage dtype:
+        # bf16 rounding this late in the chain costs ~0.004 correlation on
+        # realistic latents for ~8% of the FLOPs (docs/KERNELS.md)
+        out[f"w{i}"] = w_cat.astype(dtype if i <= 3 else jnp.float32)
         out[f"b{i}"] = b  # f32
     return out
 
@@ -175,13 +177,16 @@ def _upsample_mm(h, u, vt: int, n: int):
 
 def _decoder_kernel(latent_ref, gates_ref, u1_ref, u2_ref,
                     w1, b1, w2, b2, w3, b3, w4, b4, w5, b5,
-                    out_ref, *, vt: int):
-    latent = latent_ref[0]          # [256, 128]
-    gates = gates_ref[0]            # [VT, 256]
+                    out_ref, *, vt: int, storage_dtype):
+    latent = latent_ref[0]          # [256, 128] f32
+    gates = gates_ref[0]            # [VT, 256]  f32
 
-    # gate x latent -> [256, VT*128] (channel-major, views side by side)
+    # gate x latent -> [256, VT*128] (channel-major, views side by side).
+    # ALWAYS f32: the transpose + 3-D broadcast multiply is the one pattern
+    # the Mosaic bf16 lowering rejects (tools/mosaic_bf16_probe.py isolated
+    # it to this op; every other primitive in the chain compiles bf16).
     h = gates.T[:, :, None] * latent[:, None, :]      # [256, VT, 128]
-    h = h.reshape(256, vt * FEAT)
+    h = h.reshape(256, vt * FEAT).astype(storage_dtype)
 
     h = _upsample_mm(h, u1_ref[:], vt, FEAT)                 # [256, VT*256]
     h = _conv3(h, w1[:], b1[:], vt, 2 * FEAT, True)          # [128, VT*256]
@@ -190,7 +195,8 @@ def _decoder_kernel(latent_ref, gates_ref, u1_ref, u2_ref,
     h = _upsample_mm(h, u2_ref[:], vt, 2 * FEAT)             # [128, VT*512]
 
     h = _conv3(h, w3[:], b3[:], vt, SEQ, True)               # [64, VT*512]
-    h = _conv3(h, w4[:], b4[:], vt, SEQ, True)               # [64, VT*512]
+    # f32 tail: the last two convs accumulate AND carry f32
+    h = _conv3(h, w4[:], b4[:], vt, SEQ, True, force_f32=True)   # [64, VT*512] f32
     h = _conv3(h, w5[:], b5[:], vt, SEQ, False, force_f32=True)  # [1, VT*512] f32
 
     out = jax.nn.sigmoid(h.astype(jnp.float32) / 3.0)
@@ -204,11 +210,16 @@ def fused_decode_views(folded: dict, latent_all, gates, *, v_tile: int = 16,
     Returns [B, V, 512] f32. V is padded up to a multiple of v_tile with zero
     gates internally and the output trimmed back.
 
-    bf16 mode: pass bf16 latent/gates and a fold_decoder_bn(dtype=bf16) dict;
+    The activation storage dtype follows the folded weights: pass a
+    fold_decoder_bn(dtype=bf16) dict for the bf16 pipeline (f32 gate stage,
+    bf16 activations/matmul operands, f32 accumulation + pre-sigmoid tail);
     v_tile must then be a multiple of 16 (bf16 sublane) instead of 8.
+    latent/gates are upcast to f32 for the gate stage either way.
     """
     B, V = gates.shape[0], gates.shape[1]
-    dtype = latent_all.dtype
+    dtype = folded["w1"].dtype
+    latent_all = latent_all.astype(jnp.float32)
+    gates = gates.astype(jnp.float32)
     validate_v_tile(v_tile, dtype)
     pad = (-V) % v_tile
     if pad:
@@ -219,7 +230,7 @@ def fused_decode_views(folded: dict, latent_all, gates, *, v_tile: int = 16,
     n_vt = Vp // v_tile
 
     weight_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12
-    kernel = functools.partial(_decoder_kernel, vt=v_tile)
+    kernel = functools.partial(_decoder_kernel, vt=v_tile, storage_dtype=dtype)
     out = pl.pallas_call(
         kernel,
         grid=(B, n_vt),

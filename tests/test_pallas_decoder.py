@@ -36,25 +36,28 @@ def test_fused_decoder_matches_xla(rng):
 
 
 def test_fused_decoder_bf16_storage(rng):
-    """bf16 activations/weights with f32 accumulation: correlation vs the
-    f32 XLA decoder must stay > 0.999 (VERDICT round-1 acceptance bar)."""
+    """bf16 activations/weights with f32 accumulation, gate stage, and tail:
+    correlation vs the f32 XLA decoder must stay > 0.999 on REALISTIC
+    latents (actual encoder output — random latents understate bf16 error)."""
     model = NefNetDef(3)
     params, state = model.init(jax.random.PRNGKey(2))
-    latent = jnp.asarray(rng.standard_normal((2, 256, 128)).astype(np.float32) * 0.3)
+    data = jnp.asarray(rng.uniform(0, 1, (2, 3, 512)).astype(np.float32))
+    it = jnp.asarray(rng.uniform(-np.pi, np.pi, (2, 3, 2)).astype(np.float32))
+    cuts = np.sort(rng.choice(np.arange(8, 504, 4), size=6, replace=False))
+    pts = np.concatenate([[0], cuts, [512]])
+    rois = jnp.asarray(np.broadcast_to(np.stack([pts[:-1], pts[1:]], 1), (2, 7, 2)))
+    latent = model.encode(params, data, it, rois).latent_all
     views = jnp.asarray(rng.uniform(-np.pi, np.pi, (2, 16, 2)).astype(np.float32))
 
     ref = np.asarray(decode_views(params, state, latent, views))
     gates = query_gates(params, views)
     folded = fold_decoder_bn(params, state, dtype=jnp.bfloat16)
-    ours = fused_decode_views(
-        folded, latent.astype(jnp.bfloat16), gates.astype(jnp.bfloat16),
-        v_tile=16, interpret=True,
-    )
+    ours = fused_decode_views(folded, latent, gates, v_tile=16, interpret=True)
     ours = np.asarray(ours)
     assert ours.dtype == np.float32
     corr = np.corrcoef(ours.ravel(), ref.ravel())[0, 1]
     assert corr > 0.999, f"bf16/f32 correlation {corr}"
-    np.testing.assert_allclose(ours, ref, atol=0.02)
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
 
 
 def test_v_tile_validation():
