@@ -118,10 +118,11 @@ def main():
             results[f"{name}_error"] = str(e)[:120]
 
     # v_tile=16 measured best on v5e (304k vs 264k at vt=24, vs 260k at vt=32;
-    # tools/bench_kernel_variants.py). The bf16 fused path is NOT benched: its
-    # Mosaic compile crashes the remote helper (see docs/KERNELS.md) and a
-    # doomed ~10 min compile per bench run is not acceptable.
+    # tools/bench_kernel_variants.py). The bf16 pipeline compiles since the
+    # gate stage went f32 (Mosaic's one bf16-hostile pattern — docs/KERNELS.md)
+    # and correlates > 0.999 vs f32 (tests/test_pallas_decoder.py).
     bench_fused("pallas_fused_f32", jnp.float32, 16)
+    bench_fused("pallas_fused_bf16", jnp.bfloat16, 16)
 
     # ---- path 3: XLA decoder, bf16, scan-chained
     dtype = jnp.bfloat16
