@@ -11,10 +11,12 @@ This kernel keeps the whole chain in VMEM per (beat, view-tile) program:
 
   * BN is affine at inference -> folded into conv weights/bias ahead of time
     (fold_decoder_bn);
-  * each k3 conv is ONE MXU matmul W_cat [Cout, 3*Cin] @ H_cat [3*Cin, VT*T]
-    over the stacked time-shifted copies of the activation (shift is uniform
-    across the view tile, so views batch along the flattened (view, time)
-    axis and the contraction dim is 3x deeper than a per-tap formulation);
+  * each k3 conv is THREE accumulating MXU matmuls W_tap [Cout, Cin] @
+    H_shift [Cin, VT*T], one per tap, over lane-shifted+boundary-masked
+    copies of the activation (shift is uniform across the view tile, so
+    views batch along the flattened (view, time) axis; the per-tap form
+    avoids materializing a [3*Cin, VT*T] stacked operand, which measured as
+    ~35% of the conv-stage time in the merged-tap formulation);
   * the x2 linear upsample (even = 0.25 left + 0.75 x; odd = 0.75 x + 0.25
     right, torch align_corners=False parity) is a [N, 2N] matmul on the MXU
     (interleaving via reshape is not Mosaic-lowerable on the lane dim);
@@ -25,8 +27,9 @@ dtype policy: activations/weights may be stored bf16 (pass bf16 latent/gates
 and fold with dtype=bf16) — matmuls then run at native bf16 MXU rate and VPU
 elementwise work moves half the bytes; accumulation is ALWAYS f32
 (preferred_element_type), biases are f32, and the output waveform is f32.
-The final 1-channel conv runs f32 end-to-end (an M=1 bf16 matmul buys
-nothing and is the one shape Mosaic handles least robustly).
+convs 4-5 carry their f32 accumulators forward (never rounding the small
+pre-sigmoid values to bf16), which holds end-to-end correlation vs the f32
+pipeline above 0.999 (tests/test_pallas_decoder.py).
 """
 
 from __future__ import annotations
@@ -48,10 +51,10 @@ VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 def fold_decoder_bn(params: dict, state: dict, dtype=jnp.float32) -> dict:
     """Fold eval-mode BatchNorm into the adjacent conv weights/biases.
 
-    Returns {w1,b1,...,w5,b5}: w [Cout, 3*Cin] with the three taps
-    concatenated along the contraction dim ([:, 0:Cin] = tap t-1, etc.) so
-    the kernel's conv is a single matmul; b [Cout] f32 (accumulation dtype)
-    with BN absorbed (conv5 = decoder.4 has no BN).
+    Returns {w1,b1,...,w5,b5}: w [3, Cout, Cin] tap-major ([0] = tap t-1,
+    [1] = center, [2] = tap t+1) for the kernel's three accumulating per-tap
+    matmuls; b [Cout] f32 (accumulation dtype) with BN absorbed
+    (conv5 = decoder.4 has no BN).
     """
     out = {}
     specs = [
@@ -72,11 +75,12 @@ def fold_decoder_bn(params: dict, state: dict, dtype=jnp.float32) -> dict:
             inv = scale * jax.lax.rsqrt(var + 1e-5)
             w = w * inv[:, None, None]
             b = (b - mean) * inv + offset
-        w_cat = jnp.concatenate([w[:, :, 0], w[:, :, 1], w[:, :, 2]], axis=1)
-        # convs 4-5 (the f32 tail) stay f32 regardless of the storage dtype:
-        # bf16 rounding this late in the chain costs ~0.004 correlation on
-        # realistic latents for ~8% of the FLOPs (docs/KERNELS.md)
-        out[f"w{i}"] = w_cat.astype(dtype if i <= 3 else jnp.float32)
+        # tap-major [3, Cout, Cin]: the kernel accumulates three K=Cin
+        # matmuls over lane-shifted activations instead of materializing a
+        # [3*Cin, VT*T] stacked operand (measured ~35% of conv stage time).
+        # All weights follow the storage dtype; accumulation is ALWAYS f32
+        # and convs 4-5 CARRY f32 (the pre-sigmoid values must not round).
+        out[f"w{i}"] = jnp.transpose(w, (2, 0, 1)).astype(dtype)
         out[f"b{i}"] = b  # f32
     return out
 
@@ -95,25 +99,43 @@ def upsample_matrix(n: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.asarray(U, dtype)
 
 
+def gate_selectors(v_tile: int):
+    """0/1 selector matrices for the kernel's gate stage (f32, exact).
+
+    E [VT, VT*128]: E[v, v*128+f] = 1 — replicates each view's gate value
+    across that view's 128 feature lanes.
+    T [128, VT*128]: T[f, v*128+f] = 1 — tiles the latent across views.
+    """
+    import numpy as np
+
+    col = np.arange(v_tile * FEAT)
+    e = (col // FEAT == np.arange(v_tile)[:, None]).astype(np.float32)
+    t = (col % FEAT == np.arange(FEAT)[:, None]).astype(np.float32)
+    return jnp.asarray(e), jnp.asarray(t)
+
+
 def vmem_bytes_estimate(v_tile: int, storage_dtype) -> int:
     """Conservative per-program VMEM footprint for a given view tile.
 
-    Models the two widest pipeline stages (conv1 over [256, VT*256] and
-    conv3 over [128, VT*512]): input activation + the 3-tap stacked copy +
-    the f32 accumulator, doubled for Mosaic scheduling/double-buffer
-    headroom, plus the resident weights/upsample matrices and I/O blocks.
+    Models the widest pipeline stages: input activation + the two
+    lane-shifted tap operands + the int32 boundary-position iota + the f32
+    accumulator, doubled for Mosaic scheduling/double-buffer headroom, plus
+    the resident weights/upsample matrices and I/O blocks.
     """
     s = jnp.dtype(storage_dtype).itemsize
     consts = (256 * FEAT + v_tile * 256 + v_tile * SEQ) * s
     weights = (
-        (128 * 768 + 128 * 384 + 64 * 384 + 64 * 192) * s
-        + 1 * 192 * 4  # conv5 kept f32
+        3 * (128 * 256 + 128 * 128 + 64 * 128 + 64 * 64 + 1 * 64) * s
         + (FEAT * 2 * FEAT + 2 * FEAT * SEQ) * s  # upsample matrices
         + (128 + 128 + 64 + 64 + 1) * 4  # biases
     )
-    stage1 = (256 + 768) * (v_tile * 2 * FEAT) * s + 128 * (v_tile * 2 * FEAT) * 4
-    stage2 = (128 + 384) * (v_tile * SEQ) * s + 64 * (v_tile * SEQ) * 4
-    return consts + weights + 2 * max(stage1, stage2)
+    # conv1: h/left/right [256, VT*256] + iota i32 + accum [128, VT*256] f32
+    stage1 = 3 * 256 * (v_tile * 2 * FEAT) * s + (256 + 128) * (v_tile * 2 * FEAT) * 4
+    # conv3: [128, VT*512] operands + iota + accum [64, VT*512] f32
+    stage2 = 3 * 128 * (v_tile * SEQ) * s + (128 + 64) * (v_tile * SEQ) * 4
+    # conv5 (f32-carried input): 3 f32 operands [64, VT*512] + iota + out
+    stage3 = 3 * 64 * (v_tile * SEQ) * 4 + (64 + 1) * (v_tile * SEQ) * 4
+    return consts + weights + 2 * max(stage1, stage2, stage3)
 
 
 def validate_v_tile(v_tile: int, storage_dtype) -> None:
@@ -134,72 +156,112 @@ def validate_v_tile(v_tile: int, storage_dtype) -> None:
         )
 
 
-def _shift3(h, vt: int, t: int):
-    """[C, VT*T] -> [3C, VT*T]: per-view-segment time shifts (t-1, t, t+1),
-    zero-padded at segment edges, stacked along the contraction axis."""
-    c = h.shape[0]
-    hv = h.reshape(c, vt, t)
-    zeros = jnp.zeros((c, vt, 1), h.dtype)
-    left = jnp.concatenate([zeros, hv[:, :, :-1]], axis=2).reshape(c, vt * t)
-    right = jnp.concatenate([hv[:, :, 1:], zeros], axis=2).reshape(c, vt * t)
-    return jnp.concatenate([left, h, right], axis=0)
+def _dot_f32(w, h):
+    """f32-accumulating dot. f32 operands use HIGHEST precision: on TPU the
+    DEFAULT f32 matmul truncates operands to one bf16 MXU pass, which would
+    make the "f32" kernel numerically identical to the bf16 one (verified on
+    v5e); HIGHEST forces the multi-pass f32-accurate decomposition. bf16
+    operands take the native single pass either way."""
+    prec = jax.lax.Precision.HIGHEST if w.dtype == jnp.float32 else None
+    return jax.lax.dot_general(
+        w, h, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
 
 
-def _conv3(h, w_cat, b, vt: int, t: int, relu: bool, *, force_f32: bool = False):
-    """k3 p1 conv over the time axis of [Cin, VT*T] per-view segments as one
-    matmul: w_cat [Cout, 3*Cin] @ stacked-shifts [3*Cin, VT*T] (f32 accum)."""
-    stacked = _shift3(h, vt, t)
-    if force_f32:
-        stacked = stacked.astype(jnp.float32)
-    acc = jax.lax.dot_general(
-        w_cat, stacked,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+def _dot_fast(w, h):
+    """Single-pass dot (operands effectively bf16 on the MXU), f32 accum —
+    for the bf16 pipeline's gate stage, whose product is cast to bf16
+    immediately after; a HIGHEST multi-pass there costs ~2 ms/launch for
+    precision the next cast throws away."""
+    return jax.lax.dot_general(
+        w, h, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+    )
+
+
+def _conv3(h, w_taps, b, vt: int, t: int, relu: bool, *, carry_f32: bool = False):
+    """k3 p1 conv over the time axis of [Cin, VT*T] per-view segments as
+    three accumulating matmuls over lane-shifted activations.
+
+    w_taps: [3, Cout, Cin] (tap-major). The shifted operands are built with a
+    flat lane-axis concat + a boundary mask (iota % T), NOT by reshaping to
+    [C, vt, t] and stacking to [3*Cin, VT*T]: the reshape is a sublane
+    relayout and the stack writes 3x the activation bytes — together they
+    dominated the measured conv stage cost (docs/KERNELS.md). The three
+    K=Cin matmuls do identical MXU FLOPs to the one K=3*Cin matmul and all
+    accumulate in f32."""
+    c, n = h.shape
+    od = w_taps.dtype
+    # [1, n] boundary masks (sublane-broadcast multiply) — a full [c, n]
+    # int32 iota costs as much VMEM traffic as the activation itself
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) % t
+    # lane-axis concat shifts (pltpu.roll would avoid the copy but Mosaic
+    # only implements vector rotates for 32-bit element types)
+    zero_col = jnp.zeros((c, 1), h.dtype)
+    shifted_l = jnp.concatenate([zero_col, h[:, : n - 1]], axis=1)
+    shifted_r = jnp.concatenate([h[:, 1:], zero_col], axis=1)
+    # left operand: h[.., t-1] (0 at segment start t==0)
+    left = shifted_l * (pos != 0).astype(h.dtype)
+    # right operand: h[.., t+1] (0 at segment end t==T-1)
+    right = shifted_r * (pos != t - 1).astype(h.dtype)
+    acc = (
+        _dot_f32(w_taps[0], left.astype(od))
+        + _dot_f32(w_taps[1], h.astype(od))
+        + _dot_f32(w_taps[2], right.astype(od))
     )
     acc = acc + b[:, None]
     if relu:
         acc = jnp.maximum(acc, 0.0)
-    # force_f32 (the pre-sigmoid conv): keep the f32 result — rounding the
-    # small pre-sigmoid values to bf16 is the dominant precision loss
-    return acc if force_f32 else acc.astype(h.dtype)
+    # carry_f32 (convs 4-5, the pre-sigmoid tail): hand the f32 accumulator
+    # onward — rounding this late in the chain to bf16 is the dominant
+    # precision loss (docs/KERNELS.md)
+    return acc if carry_f32 else acc.astype(h.dtype)
 
 
 def _upsample_mm(h, u, vt: int, n: int):
     """[C, VT*N] per-view x2 upsample via matmul: -> [C, VT*2N] (f32 accum)."""
     c = h.shape[0]
     hv = h.reshape(c * vt, n)  # major-dims merge only; lane dim unchanged
+    prec = jax.lax.Precision.HIGHEST if hv.dtype == jnp.float32 else None
     out = jax.lax.dot_general(
         hv, u, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     ).astype(h.dtype)
     return out.reshape(c, vt * 2 * n)
 
 
-def _decoder_kernel(latent_ref, gates_ref, u1_ref, u2_ref,
+def _decoder_kernel(latent_ref, gates_ref, u1_ref, u2_ref, e_ref, t_ref,
                     w1, b1, w2, b2, w3, b3, w4, b4, w5, b5,
                     out_ref, *, vt: int, storage_dtype):
     latent = latent_ref[0]          # [256, 128] f32
     gates = gates_ref[0]            # [VT, 256]  f32
 
-    # gate x latent -> [256, VT*128] (channel-major, views side by side).
-    # ALWAYS f32: the transpose + 3-D broadcast multiply is the one pattern
-    # the Mosaic bf16 lowering rejects (tools/mosaic_bf16_probe.py isolated
-    # it to this op; every other primitive in the chain compiles bf16).
-    h = gates.T[:, :, None] * latent[:, None, :]      # [256, VT, 128]
-    h = h.reshape(256, vt * FEAT).astype(storage_dtype)
+    # gate x latent -> [256, VT*128] (channel-major, views side by side),
+    # built with two selector matmuls instead of a 3-D broadcast multiply +
+    # reshape: the [256, VT, 128] -> [256, VT*128] merge relayouts sublanes
+    # into lanes (measured ~2 ms/launch) and the 3-D broadcast is also the
+    # one pattern the Mosaic bf16 lowering rejects. E [VT, VT*128] replicates
+    # each view's gate across its 128 lanes; T [128, VT*128] tiles the latent
+    # across views. Both are 0/1 selectors, so the matmuls are exact in f32.
+    gate_dot = _dot_f32 if storage_dtype == jnp.float32 else _dot_fast
+    g_exp = gate_dot(gates.T, e_ref[:])               # [256, VT*128]
+    lat_t = gate_dot(latent, t_ref[:])                # [256, VT*128]
+    h = (g_exp * lat_t).astype(storage_dtype)
 
     h = _upsample_mm(h, u1_ref[:], vt, FEAT)                 # [256, VT*256]
-    h = _conv3(h, w1[:], b1[:], vt, 2 * FEAT, True)          # [128, VT*256]
-    h = _conv3(h, w2[:], b2[:], vt, 2 * FEAT, True)          # [128, VT*256]
+    h = _conv3(h, w1[:], b1[:], vt, 2 * FEAT, True)   # [128, VT*256]
+    h = _conv3(h, w2[:], b2[:], vt, 2 * FEAT, True)   # [128, VT*256]
 
     h = _upsample_mm(h, u2_ref[:], vt, 2 * FEAT)             # [128, VT*512]
 
-    h = _conv3(h, w3[:], b3[:], vt, SEQ, True)               # [64, VT*512]
-    # f32 tail: the last two convs accumulate AND carry f32
-    h = _conv3(h, w4[:], b4[:], vt, SEQ, True, force_f32=True)   # [64, VT*512] f32
-    h = _conv3(h, w5[:], b5[:], vt, SEQ, False, force_f32=True)  # [1, VT*512] f32
+    h = _conv3(h, w3[:], b3[:], vt, SEQ, True)        # [64, VT*512]
+    # f32-carried tail: convs 4-5 accumulate f32 and hand the f32 result on
+    # (operands follow the storage dtype; the carried values never round)
+    h = _conv3(h, w4[:], b4[:], vt, SEQ, True, carry_f32=True)   # [64, VT*512] f32
+    h = _conv3(h, w5[:], b5[:], vt, SEQ, False, carry_f32=True)  # [1, VT*512] f32
 
-    out = jax.nn.sigmoid(h.astype(jnp.float32) / 3.0)
+    out = jax.nn.sigmoid(h / 3.0)
     out_ref[0] = out.reshape(vt, SEQ).astype(out_ref.dtype)
 
 
@@ -229,8 +291,9 @@ def fused_decode_views(folded: dict, latent_all, gates, *, v_tile: int = 16,
     Vp = V + pad
     n_vt = Vp // v_tile
 
-    weight_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12
+    weight_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 14
     kernel = functools.partial(_decoder_kernel, vt=v_tile, storage_dtype=dtype)
+    e_sel, t_sel = gate_selectors(v_tile)
     out = pl.pallas_call(
         kernel,
         grid=(B, n_vt),
@@ -248,6 +311,7 @@ def fused_decode_views(folded: dict, latent_all, gates, *, v_tile: int = 16,
     )(
         latent_all, gates,
         upsample_matrix(FEAT, dtype), upsample_matrix(2 * FEAT, dtype),
+        e_sel, t_sel,
         folded["w1"], folded["b1"], folded["w2"], folded["b2"],
         folded["w3"], folded["b3"], folded["w4"], folded["b4"],
         folded["w5"], folded["b5"],
