@@ -159,27 +159,48 @@ def main():
     opt_state = tx.init(params)
     import optax
 
-    @jax.jit
-    def train_chain(p, bn, opt, rng_key, data, input_theta, target_theta, rois,
-                    target_view):
-        def one_step(carry, k):
-            p, bn, opt = carry
+    def make_train_chain(compute_dtype):
+        # mirrors Solver._build_train_step's mixed-precision policy: master
+        # params f32, forward/backward in compute_dtype, f32 loss
+        mixed = compute_dtype != jnp.float32
+        castc = lambda t: jax.tree.map(
+            lambda x: x.astype(compute_dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, t
+        )
 
-            def loss_fn(pp):
-                (out, sp, sl), new_bn = model.apply(
-                    pp, bn, data, input_theta, target_theta, rois,
-                    phase="train", rng=jax.random.fold_in(rng_key, k),
-                    shuffle_idx=(0, 1),
-                )
-                loss, *_ = loss_wrapper(out, sp, sl, target_view[:, None, :], cfg)
-                return loss, new_bn
+        @jax.jit
+        def train_chain(p, bn, opt, rng_key, data, input_theta, target_theta,
+                        rois, target_view):
+            def one_step(carry, k):
+                p, bn, opt = carry
 
-            (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
-            updates, new_opt = tx.update(grads, opt, p)
-            return (optax.apply_updates(p, updates), new_bn, new_opt), loss
+                def loss_fn(pp):
+                    if mixed:
+                        pp, d, it, tt = castc((pp, data, input_theta, target_theta))
+                    else:
+                        d, it, tt = data, input_theta, target_theta
+                    (out, sp, sl), new_bn = model.apply(
+                        pp, bn, d, it, tt, rois,
+                        phase="train", rng=jax.random.fold_in(rng_key, k),
+                        shuffle_idx=(0, 1),
+                    )
+                    if mixed:
+                        out, sp, sl = (x.astype(jnp.float32) for x in (out, sp, sl))
+                        new_bn = jax.tree.map(
+                            lambda x: x.astype(jnp.float32)
+                            if jnp.issubdtype(x.dtype, jnp.floating) else x, new_bn
+                        )
+                    loss, *_ = loss_wrapper(out, sp, sl, target_view[:, None, :], cfg)
+                    return loss, new_bn
 
-        (_, _, _), losses = jax.lax.scan(one_step, (p, bn, opt), jnp.arange(K))
-        return losses.sum()
+                (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+                updates, new_opt = tx.update(grads, opt, p)
+                return (optax.apply_updates(p, updates), new_bn, new_opt), loss
+
+            (_, _, _), losses = jax.lax.scan(one_step, (p, bn, opt), jnp.arange(K))
+            return losses.sum()
+
+        return train_chain
 
     targs = (
         params, bn_state, opt_state, jax.random.PRNGKey(0),
@@ -187,8 +208,10 @@ def main():
         jnp.asarray(batch["target_theta"]), jnp.asarray(batch["rois"]),
         jnp.asarray(batch["target_view"]),
     )
-    train_med, train_std = _time(train_chain, targs, 5)
+    train_med, train_std = _time(make_train_chain(jnp.float32), targs, 5)
     train_step_ms = 1e3 * train_med / K
+    train_med16, _ = _time(make_train_chain(jnp.bfloat16), targs, 5)
+    train_step_ms_bf16 = 1e3 * train_med16 / K
 
     # p50 latency: single-beat 24-view panorama, RTT amortized over K chains
     b1 = _synth_batch(rng, B=1)
@@ -220,6 +243,7 @@ def main():
         "views_per_beat": V,
         "chained_launches": K,
         "train_step_ms_batch32": round(train_step_ms, 3),
+        "train_step_ms_batch32_bf16": round(train_step_ms_bf16, 3),
         "train_step_std_pct": round(train_std, 1),
         "p50_latency_ms_24view_panorama_amortized": round(p50_ms, 3),
         "tunnel_rtt_ms": round(rtt * 1e3, 1),

@@ -113,15 +113,41 @@ class Solver:
         model = self.model
         tx = self.tx
         use_noise = bool(cfg.DATA.noise)
+        # Mixed-precision throughput mode (TPU.compute_dtype='bfloat16'):
+        # master params/optimizer state stay f32, forward+backward run bf16
+        # (native MXU rate), BN running stats stay f32 (the momentum blend
+        # promotes), rois stay f32 (ROI index math is f32 internally), and
+        # outputs are cast back to f32 before the loss. bf16 shares f32's
+        # exponent range so no loss scaling is needed.
+        compute_dtype = jnp.dtype(cfg.TPU.compute_dtype)
+        mixed = compute_dtype != jnp.float32
+        _cast = lambda t: jax.tree.map(  # noqa: E731
+            lambda x: x.astype(compute_dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, t
+        )
 
         @partial(jax.jit, donate_argnums=(0, 1, 2))
         def step(params, bn_state, opt_state, rng, i1, i2,
                  data, input_theta, target_theta, rois, target_view, noise):
             def loss_fn(p):
+                if mixed:
+                    p = _cast(p)
+                    data_c, it_c, tt_c = _cast((data, input_theta, target_theta))
+                else:
+                    data_c, it_c, tt_c = data, input_theta, target_theta
                 (out, sp, sl), new_bn = model.apply(
-                    p, bn_state, data, input_theta, target_theta, rois,
+                    p, bn_state, data_c, it_c, tt_c, rois,
                     phase="train", rng=rng, shuffle_idx=(i1, i2),
                 )
+                if mixed:
+                    out, sp, sl = (
+                        out.astype(jnp.float32), sp.astype(jnp.float32),
+                        sl.astype(jnp.float32),
+                    )
+                    new_bn = jax.tree.map(
+                        lambda x: x.astype(jnp.float32)
+                        if jnp.issubdtype(x.dtype, jnp.floating) else x, new_bn
+                    )
                 if use_noise:
                     out = out + noise[:, None, :]
                 loss, lo1, lo2, lo3 = self.loss(

@@ -322,3 +322,57 @@ def test_eval_whole_sequence_metric_branch(tmp_path):
     assert met[2] == met[3]  # ssim_gen == ssim_reg
     assert np.isfinite(met).all()
     assert te["singlelead"] is None  # no per-lead gen metrics in this branch
+
+
+def test_mixed_precision_train_step(cfg, tmp_path):
+    """TPU.compute_dtype='bfloat16': forward/backward run bf16 while master
+    params, optimizer state, and BN running stats stay f32, and the update
+    tracks the f32 step closely on the same batch."""
+    import jax.numpy as jnp
+
+    mcfg = cfg.clone()
+    mcfg.output_dir = str(tmp_path)
+    mcfg.desc = "mixed"
+    mcfg.SOLVER.epochs = 1
+
+    train_ds = build_dataset(mcfg, "train")
+    dl = BeatLoader(train_ds, mcfg.DATA.batch_size, shuffle=False, drop_last=True, seed=3)
+    batch = next(iter(dl))
+    args = tuple(
+        jnp.asarray(batch[k])
+        for k in ("data", "input_theta", "target_theta", "rois", "target_view", "noise")
+    )
+
+    def one_step(c):
+        s = Solver(c, use_writer=False)
+        params, bn_state = s.model.init(jax.random.PRNGKey(0))
+        opt_state = s.tx.init(params)
+        return s._train_step(
+            params, bn_state, opt_state, jax.random.PRNGKey(1),
+            jnp.asarray(0), jnp.asarray(1), *args,
+        )
+
+    f32cfg = mcfg.clone()
+    p32, bn32, _, l32 = one_step(f32cfg)
+
+    mcfg.TPU.compute_dtype = "bfloat16"
+    p16, bn16, _, l16 = one_step(mcfg)
+
+    # master state stays f32
+    assert all(
+        v.dtype == np.float32
+        for v in jax.tree.leaves(p16)
+        if np.issubdtype(v.dtype, np.floating)
+    )
+    assert all(
+        v.dtype == np.float32
+        for v in jax.tree.leaves(bn16)
+        if np.issubdtype(v.dtype, np.floating)
+    )
+    l32, l16 = np.asarray(l32), np.asarray(l16)
+    assert np.isfinite(l16).all()
+    # bf16 forward/backward lands near the f32 step on the same batch
+    assert abs(l16[0] - l32[0]) / abs(l32[0]) < 0.05
+    d32 = np.concatenate([np.ravel(v) for _, v in sorted(p32.items())])
+    d16 = np.concatenate([np.ravel(v) for _, v in sorted(p16.items())])
+    assert np.corrcoef(d32, d16)[0, 1] > 0.999
