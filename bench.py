@@ -151,6 +151,24 @@ def main():
     results["xla_bf16"] = K * B * V / med
     stds["xla_bf16"] = round(std, 1)
 
+    # ---- encode stage alone (K-chained over perturbed batches so XLA cannot
+    # hoist the loop-invariant encode; measured 1.4 ms/launch = ~8% of the
+    # per-launch fused path; see tools/bench_encode_share.py for the bf16
+    # no-gain result that keeps it f32)
+    @jax.jit
+    def enc_chain(p, ds, it, r):
+        def body(c, d):
+            return c + model.encode(p, d, it, r).latent_all.sum(), None
+        acc, _ = jax.lax.scan(body, 0.0, ds)
+        return acc
+
+    # K_ENC=64: encode is ~1.4 ms/launch, so the tunnel RTT must amortize
+    # over many more launches than the decode chains need
+    K_ENC = 64
+    datas = jnp.stack([fargs[0] + 1e-6 * k for k in range(K_ENC)])
+    enc_med, _ = _time(enc_chain, (params, datas, fargs[1], fargs[2]), 5)
+    encode_ms = 1e3 * enc_med / K_ENC
+
     # ---- train-step latency (batch 32, forward+loss+SGD, K-chained)
     from electrocardio_panorama_tpu.models.losses import loss_wrapper
     from electrocardio_panorama_tpu.training.optim import get_optimizer
@@ -242,6 +260,7 @@ def main():
         "batch_beats": B,
         "views_per_beat": V,
         "chained_launches": K,
+        "encode_ms_per_launch_batch32": round(encode_ms, 3),
         "train_step_ms_batch32": round(train_step_ms, 3),
         "train_step_ms_batch32_bf16": round(train_step_ms_bf16, 3),
         "train_step_std_pct": round(train_std, 1),

@@ -39,9 +39,11 @@ class PanoramaGenerator:
     """Encode-once / decode-many panorama renderer (demo.ipynb Generator).
 
     `use_fused=True` decodes with the fused Pallas decoder kernel
-    (ops/pallas/decoder_fused.py: BN folded, whole chain in VMEM — ~2.2x the
-    XLA decoder on v5e at full f32 fidelity). Views are padded up to the
-    kernel's view-tile and trimmed after.
+    (ops/pallas/decoder_fused.py: BN folded, whole chain in VMEM). Pair it
+    with `compute_dtype=jnp.bfloat16` for the throughput pipeline (~500k
+    views/s on v5e-1, 2.3x the bf16 XLA decoder; corr > 0.999999 vs f32 on
+    trained weights — docs/KERNELS.md); f32 keeps exact parity with the XLA
+    decoder. Views are padded up to the kernel's view-tile and trimmed after.
     """
 
     def __init__(self, model_def, params, bn_state, *, compute_dtype=jnp.float32,
