@@ -79,19 +79,49 @@ def build_dp_train_step(model_def, cfg, tx, mesh: Mesh, axis: str = "data",
 
 
 def build_sharded_panorama(model_def, mesh: Mesh, *, data_axis: str = "data",
-                           view_axis: str = "view"):
+                           view_axis: str = "view", use_fused: bool = False,
+                           compute_dtype=jnp.float32, v_tile: int = 16,
+                           interpret: bool = False):
     """Encode on the data axis, decode with views sharded on the view axis.
 
     Returns render(params, bn_state, data, input_theta, rois, views) -> [B, V, 512]
     where `views` is [V, 2] broadcast to the batch; B divides the data-axis
     size and V divides the view-axis size.
+
+    ``use_fused=True`` decodes each (batch-shard x view-shard) slice with the
+    fused Pallas decoder (ops/pallas/decoder_fused.py) — the flagship
+    single-chip pipeline running per device under shard_map, so the ~500k
+    views/s/chip bf16 path scales across the mesh with no collectives in the
+    decode. ``compute_dtype=jnp.bfloat16`` selects the throughput pipeline;
+    BN folding happens in-jit from the replicated params (negligible next to
+    the decode). ``interpret=True`` runs the kernel in interpret mode for
+    CPU-mesh tests.
     """
 
-    def local_render(params, bn_state, data, input_theta, rois, views):
-        latent = model_def.encode(params, data, input_theta, rois).latent_all
-        # every view shard decodes its slice from the local batch shard
-        v = jnp.broadcast_to(views[None], (latent.shape[0], *views.shape))
-        return model_def.decode_views(params, bn_state, latent, v)
+    if use_fused:
+        from electrocardio_panorama_tpu.models.nefnet import query_gates
+        from electrocardio_panorama_tpu.ops.pallas.decoder_fused import (
+            fold_decoder_bn,
+            fused_decode_views,
+        )
+
+        def local_render(params, bn_state, data, input_theta, rois, views):
+            latent = model_def.encode(params, data, input_theta, rois).latent_all
+            folded = fold_decoder_bn(params, bn_state, dtype=compute_dtype)
+            v = jnp.broadcast_to(views[None], (latent.shape[0], *views.shape))
+            gates = query_gates(
+                params, v, theta_encoder_len=model_def.theta_encoder_len
+            )
+            return fused_decode_views(
+                folded, latent.astype(compute_dtype), gates.astype(compute_dtype),
+                v_tile=v_tile, interpret=interpret,
+            )
+    else:
+        def local_render(params, bn_state, data, input_theta, rois, views):
+            latent = model_def.encode(params, data, input_theta, rois).latent_all
+            # every view shard decodes its slice from the local batch shard
+            v = jnp.broadcast_to(views[None], (latent.shape[0], *views.shape))
+            return model_def.decode_views(params, bn_state, latent, v)
 
     rep = P()
     render = jax.shard_map(

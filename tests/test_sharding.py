@@ -226,3 +226,33 @@ def test_dense_sweep_full_record_sharded(cfg):
     v = jnp.broadcast_to(jnp.asarray(views)[None], (len(metas), 36, 2))
     ref = model.decode_views(params, state, latent, v)
     np.testing.assert_allclose(np.asarray(pano), np.asarray(ref), atol=2e-5)
+
+
+def test_view_sharded_panorama_fused_kernel(cfg):
+    """The fused Pallas decoder under shard_map (data x view mesh): each
+    device runs the flagship single-chip pipeline on its (batch, view) slice
+    (interpret mode on the CPU mesh) and matches the XLA sharded path."""
+    mesh = make_mesh((2, 4), ("data", "view"))
+    model = build_model(cfg)
+    rng_np = np.random.default_rng(2)
+    batch = make_batch(rng_np, B=4)
+    params, bn_state = model.init(jax.random.PRNGKey(2))
+
+    views = rng_np.uniform(-np.pi, np.pi, (32, 2)).astype(np.float32)
+    render_ref = build_sharded_panorama(model, mesh)
+    render_fused = build_sharded_panorama(
+        model, mesh, use_fused=True, v_tile=8, interpret=True
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    pr = jax.tree.map(lambda x: jax.device_put(x, NamedSharding(mesh, P())), params)
+    br = jax.tree.map(lambda x: jax.device_put(x, NamedSharding(mesh, P())), bn_state)
+    data = jax.device_put(jnp.asarray(batch["data"]), NamedSharding(mesh, P("data")))
+    it = jax.device_put(jnp.asarray(batch["input_theta"]), NamedSharding(mesh, P("data")))
+    rois = jax.device_put(jnp.asarray(batch["rois"]), NamedSharding(mesh, P("data")))
+    vs = jax.device_put(jnp.asarray(views), NamedSharding(mesh, P("view")))
+
+    pano_fused = np.asarray(render_fused(pr, br, data, it, rois, vs))
+    pano_ref = np.asarray(render_ref(pr, br, data, it, rois, vs))
+    assert pano_fused.shape == pano_ref.shape == (4, 32, 512)
+    np.testing.assert_allclose(pano_fused, pano_ref, atol=2e-5)
