@@ -39,12 +39,22 @@ def build_dataset(cfg, phase: str):
     if cfg.DATA.dataset == "tianchi":
         return TianchiBeatDataset(cfg, phase)
     if cfg.DATA.dataset == "ptbv2":
-        # path patching parity (reference dataset/__init__.py:8-14)
-        cfg.DATA.train_pkl_path = "data/ptb/ptb_pkl_data/train_ptb.pkl"
-        cfg.DATA.test_pkl_path = "data/ptb/ptb_pkl_data/test_ptb.pkl"
-        cfg.DATA.train_label_path = "data/ptb/ptb_train.txt"
-        cfg.DATA.test_label_path = "data/ptb/ptb_test.txt"
-        cfg.DATA.train_data_root = "data/ptb/ptb-diag_preprocess"
+        # path patching parity (reference dataset/__init__.py:8-14) — but
+        # only for keys still at their config defaults, so an explicit
+        # DATA.* override (CLI or yml) can point at a custom PTB corpus
+        # (e.g. the synthetic PTB-layout generator's output)
+        from electrocardio_panorama_tpu.config import get_cfg as _defaults
+
+        _d = _defaults().DATA
+        for key, ref_path in (
+            ("train_pkl_path", "data/ptb/ptb_pkl_data/train_ptb.pkl"),
+            ("test_pkl_path", "data/ptb/ptb_pkl_data/test_ptb.pkl"),
+            ("train_label_path", "data/ptb/ptb_train.txt"),
+            ("test_label_path", "data/ptb/ptb_test.txt"),
+            ("train_data_root", "data/ptb/ptb-diag_preprocess"),
+        ):
+            if cfg.DATA[key] == _d[key]:
+                cfg.DATA[key] = ref_path
         return PTBBeatDataset(cfg, phase)
     if cfg.DATA.dataset == "synthetic":
         # self-contained synthetic corpus generated under output_dir

@@ -13,8 +13,27 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.custom_jvp
+def _abs_torch(x):
+    """|x| with torch's L1 subgradient convention: d|x|/dx = sign(x), which
+    is 0 AT x == 0 (torch.abs backward). JAX's builtin abs uses 1 there —
+    a real training bug when a residual is exactly zero: with lead_num=1 the
+    standin-shuffled decodes are bitwise equal to the prediction, so the
+    standin L1 sits at exactly 0 and JAX's convention injects a phantom
+    full-magnitude gradient through both standin terms that fights the
+    supervised loss (the 1-lead PTB recipe could not even overfit one batch;
+    the torch reference could). jnp.sign(0) == 0 restores parity."""
+    return jnp.abs(x)
+
+
+@_abs_torch.defjvp
+def _abs_torch_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    return jnp.abs(x), jnp.sign(x) * t
+
+
 def l1(a, b):
-    return jnp.mean(jnp.abs(a - b))
+    return jnp.mean(_abs_torch(a - b))
 
 
 def mse(a, b):
