@@ -97,6 +97,9 @@ class InteractiveAnnotator:
         self.record = _load_record(path)
         self.points = [[] for _ in range(6)]
         self._undo = []
+        # a stale cursor from the previous record must not silently place
+        # marks in the new one; -1 makes mark() a no-op until the mouse moves
+        self.cursor_x = -1.0
         if self.preload and os.path.exists(self._label_path()):
             with open(self._label_path()) as f:
                 bp = json.load(f)
@@ -141,6 +144,8 @@ class InteractiveAnnotator:
 
     def on_key(self, event) -> None:
         key = event.key
+        if key is None:  # unmapped key (media/IME/dead keys): ignore
+            return
         if key in "123456":
             self.mark(int(key) - 1)
         elif key == "u":
@@ -196,9 +201,20 @@ class InteractiveAnnotator:
         return path
 
     def step_file(self, delta: int) -> None:
-        """Auto-save then move to the neighboring record (window.py:135-161)."""
+        """Auto-save then move to the neighboring record (window.py:135-161).
+
+        Auto-save is skipped when it would clobber annotations the user never
+        saw: with --no-preload an existing label JSON stays hidden, so
+        overwriting it with this session's partial marks would destroy work —
+        an explicit 's' is required to overwrite in that case."""
         if any(self.points[k] for k in range(6)):
-            self.save()
+            if self.preload or not os.path.exists(self._label_path()):
+                self.save()
+            else:
+                print(
+                    f"not auto-saving over existing {self._label_path()} "
+                    "(opened with --no-preload); press 's' to overwrite"
+                )
         nxt = self.file_index + delta
         if 0 <= nxt < len(self.files):
             self.file_index = nxt

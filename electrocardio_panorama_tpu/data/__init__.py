@@ -62,14 +62,25 @@ def build_dataset(cfg, phase: str):
 
         root = getattr(cfg.DATA, "synthetic_root", None) or cfg.output_dir + "/synthetic_data"
         marker = f"{root}/tianchi_train_jsons.txt"
-        if not os.path.exists(marker):
+        n_train = int(getattr(cfg.DATA, "synthetic_n_train", 16))
+        n_test = int(getattr(cfg.DATA, "synthetic_n_test", 8))
+        # an existing corpus is only reused if it was generated at the SAME
+        # size — otherwise a resized config would silently train on the stale
+        # corpus (the marker lists one record name per line)
+        reuse = False
+        if os.path.exists(marker):
+            with open(marker) as f:
+                have_train = sum(1 for line in f if line.strip())
+            reuse = have_train == n_train
+            if not reuse:
+                print(
+                    f"synthetic corpus at {root} has {have_train} train records "
+                    f"but the config asks for {n_train}; regenerating"
+                )
+        if not reuse:
             from electrocardio_panorama_tpu.data.synthetic import generate_tianchi_dataset
 
-            overrides = generate_tianchi_dataset(
-                root,
-                n_train=int(getattr(cfg.DATA, "synthetic_n_train", 16)),
-                n_test=int(getattr(cfg.DATA, "synthetic_n_test", 8)),
-            )
+            overrides = generate_tianchi_dataset(root, n_train=n_train, n_test=n_test)
         else:
             overrides = {
                 "train_label_path": f"{root}/tianchi_train_jsons.txt",

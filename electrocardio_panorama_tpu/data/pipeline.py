@@ -103,8 +103,11 @@ class BeatLoader:
         ]
         if self.num_threads > 1:
             # one pool per epoch (not per batch), with a one-batch lookahead:
-            # batch i+1 assembles on the pool while the caller consumes batch i
-            pool = ThreadPoolExecutor(self.num_threads)
+            # batch i+1 assembles on the pool while the caller consumes batch i.
+            # +1 worker because the submitted fetch itself occupies a thread
+            # while blocked in pool.map — without it, example assembly would
+            # run at num_threads-1 wide
+            pool = ThreadPoolExecutor(self.num_threads + 1)
             try:
                 def fetch(span):
                     lo, hi = span

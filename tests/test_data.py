@@ -212,3 +212,25 @@ def test_reference_shipped_yml_loads_unchanged():
     assert cfg.DATA.lead_num == 3
     assert cfg.DATA.super_mode == "IIv2v5_v4I_372"
     assert cfg.desc == "nef_net"
+
+
+def test_synthetic_corpus_regenerates_on_size_change(tmp_path):
+    """A resized synthetic_n_train must regenerate the corpus, not silently
+    reuse the stale one behind the marker file."""
+    cfg = get_cfg()
+    cfg.DATA.dataset = "synthetic"
+    cfg.DATA.lead_num = 3
+    cfg.DATA.super_mode = "IIv2v5_v4I_372"
+    cfg.DATA.train_data_mode = "input_fix"
+    cfg.DATA.synthetic_root = str(tmp_path / "synth")
+    cfg.DATA.synthetic_n_train = 4
+    cfg.DATA.synthetic_n_test = 2
+    build_dataset(cfg, "train")
+    with open(tmp_path / "synth" / "tianchi_train_jsons.txt") as f:
+        assert sum(1 for l in f if l.strip()) == 4
+
+    cfg2 = cfg.clone()
+    cfg2.DATA.synthetic_n_train = 6
+    build_dataset(cfg2, "train")
+    with open(tmp_path / "synth" / "tianchi_train_jsons.txt") as f:
+        assert sum(1 for l in f if l.strip()) == 6

@@ -57,7 +57,9 @@ def main(mode="bf16", v_tile=16):
                out_ref, *, stop: str):
         latent_ = latent_ref[0]
         gates_ = gates_ref[0]
-        h = (df._dot_f32(gates_.T, e_ref[:]) * df._dot_f32(latent_, t_ref[:])).astype(dtype)
+        # mirror the production kernel's storage-aware gate precision
+        gate_dot = df._dot_f32 if dtype == jnp.float32 else df._dot_fast
+        h = (gate_dot(gates_.T, e_ref[:]) * gate_dot(latent_, t_ref[:])).astype(dtype)
         done = stop == "gate"
         if not done:
             h = df._upsample_mm(h, u1_ref[:], vt, df.FEAT)
