@@ -99,6 +99,25 @@ def upsample_matrix(n: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.asarray(U, dtype)
 
 
+def upsample_shift_matrices(n: int, dtype=jnp.float32) -> jnp.ndarray:
+    """[3, n, 2n] upsample matrices with columns shifted by tap-1 for the
+    fused upsample+conv stage: U_k[:, j] = U[:, j + k - 1], zero at the
+    boundaries (which realizes the conv's per-view zero padding)."""
+    import numpy as np
+
+    u = np.zeros((n, 2 * n), np.float64)
+    for k in range(n):
+        u[max(k - 1, 0), 2 * k] += 0.25
+        u[k, 2 * k] += 0.75
+        u[k, 2 * k + 1] += 0.75
+        u[min(k + 1, n - 1), 2 * k + 1] += 0.25
+    u0 = np.zeros_like(u)
+    u0[:, 1:] = u[:, :-1]
+    u2 = np.zeros_like(u)
+    u2[:, :-1] = u[:, 1:]
+    return jnp.asarray(np.stack([u0, u, u2]), dtype)
+
+
 def gate_selectors(v_tile: int):
     """0/1 selector matrices for the kernel's gate stage (f32, exact).
 
@@ -231,6 +250,38 @@ def _upsample_mm(h, u, vt: int, n: int):
     return out.reshape(c, vt * 2 * n)
 
 
+def _upconv3(h, w_taps, b, u3, vt: int, n_in: int, relu: bool):
+    """Fused (x2 upsample -> k3 conv) by operator associativity.
+
+    Both are linear time-operators, so conv(up(h)) = sum_k W_k @ (h @ U_k)
+    where U_k is the upsample matrix with columns shifted by k-1 (zero
+    boundary columns implement the conv's per-view zero padding for free).
+    vs the materialized up-then-conv: no lane-shift copies, no boundary
+    masks, and the channel contraction W_k @ h runs at the NARROW
+    pre-upsample width — conv1's stage cost was 4x conv2's at 2x the FLOPs
+    because of exactly that overhead (docs/KERNELS.md stage profile).
+
+    h: [Cin, VT*n_in]; w_taps: [3, Cout, Cin]; u3: [3, n_in, 2*n_in].
+    Returns [Cout, VT*2*n_in] in h.dtype (f32 accumulation throughout).
+    """
+    od = w_taps.dtype
+    cout = w_taps.shape[1]
+    acc = None
+    for k in range(3):
+        g = _dot_f32(w_taps[k], h.astype(od))             # [Cout, VT*n_in] f32
+        g2 = g.astype(od).reshape(cout * vt, n_in)
+        prec = jax.lax.Precision.HIGHEST if od == jnp.float32 else None
+        y = jax.lax.dot_general(                          # [Cout*VT, 2*n_in]
+            g2, u3[k], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        acc = y if acc is None else acc + y
+    acc = acc.reshape(cout, vt * 2 * n_in) + b[:, None]
+    if relu:
+        acc = jnp.maximum(acc, 0.0)
+    return acc.astype(h.dtype)
+
+
 def _decoder_kernel(latent_ref, gates_ref, u1_ref, u2_ref, e_ref, t_ref,
                     w1, b1, w2, b2, w3, b3, w4, b4, w5, b5,
                     out_ref, *, vt: int, storage_dtype):
@@ -249,13 +300,9 @@ def _decoder_kernel(latent_ref, gates_ref, u1_ref, u2_ref, e_ref, t_ref,
     lat_t = gate_dot(latent, t_ref[:])                # [256, VT*128]
     h = (g_exp * lat_t).astype(storage_dtype)
 
-    h = _upsample_mm(h, u1_ref[:], vt, FEAT)                 # [256, VT*256]
-    h = _conv3(h, w1[:], b1[:], vt, 2 * FEAT, True)   # [128, VT*256]
-    h = _conv3(h, w2[:], b2[:], vt, 2 * FEAT, True)   # [128, VT*256]
-
-    h = _upsample_mm(h, u2_ref[:], vt, 2 * FEAT)             # [128, VT*512]
-
-    h = _conv3(h, w3[:], b3[:], vt, SEQ, True)        # [64, VT*512]
+    h = _upconv3(h, w1[:], b1[:], u1_ref[:], vt, FEAT, True)      # [128, VT*256]
+    h = _conv3(h, w2[:], b2[:], vt, 2 * FEAT, True)               # [128, VT*256]
+    h = _upconv3(h, w3[:], b3[:], u2_ref[:], vt, 2 * FEAT, True)  # [64, VT*512]
     # f32-carried tail: convs 4-5 accumulate f32 and hand the f32 result on
     # (operands follow the storage dtype; the carried values never round)
     h = _conv3(h, w4[:], b4[:], vt, SEQ, True, carry_f32=True)   # [64, VT*512] f32
@@ -310,7 +357,7 @@ def fused_decode_views(folded: dict, latent_all, gates, *, v_tile: int = 16,
         ),
     )(
         latent_all, gates,
-        upsample_matrix(FEAT, dtype), upsample_matrix(2 * FEAT, dtype),
+        upsample_shift_matrices(FEAT, dtype), upsample_shift_matrices(2 * FEAT, dtype),
         e_sel, t_sel,
         folded["w1"], folded["b1"], folded["w2"], folded["b2"],
         folded["w3"], folded["b3"], folded["w4"], folded["b4"],
