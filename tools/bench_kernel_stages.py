@@ -50,7 +50,7 @@ def main(mode="bf16", v_tile=16):
     params, bn_state = model.init(jax.random.PRNGKey(0))
     folded = df.fold_decoder_bn(params, bn_state, dtype=dtype)
 
-    STAGES = ["gate", "up1", "conv1", "conv2", "up2", "conv3", "conv4", "conv5"]
+    STAGES = ["gate", "upconv1", "conv2", "upconv2", "conv4", "conv5"]
 
     def kernel(latent_ref, gates_ref, u1_ref, u2_ref, e_ref, t_ref,
                w1, b1, w2, b2, w3, b3, w4, b4, w5, b5,
@@ -62,20 +62,14 @@ def main(mode="bf16", v_tile=16):
         h = (gate_dot(gates_.T, e_ref[:]) * gate_dot(latent_, t_ref[:])).astype(dtype)
         done = stop == "gate"
         if not done:
-            h = df._upsample_mm(h, u1_ref[:], vt, df.FEAT)
-            done = stop == "up1"
-        if not done:
-            h = df._conv3(h, w1[:], b1[:], vt, 2 * df.FEAT, True)
-            done = stop == "conv1"
+            h = df._upconv3(h, w1[:], b1[:], u1_ref[:], vt, df.FEAT, True)
+            done = stop == "upconv1"
         if not done:
             h = df._conv3(h, w2[:], b2[:], vt, 2 * df.FEAT, True)
             done = stop == "conv2"
         if not done:
-            h = df._upsample_mm(h, u2_ref[:], vt, 2 * df.FEAT)
-            done = stop == "up2"
-        if not done:
-            h = df._conv3(h, w3[:], b3[:], vt, df.SEQ, True)
-            done = stop == "conv3"
+            h = df._upconv3(h, w3[:], b3[:], u2_ref[:], vt, 2 * df.FEAT, True)
+            done = stop == "upconv2"
         if not done:
             h = df._conv3(h, w4[:], b4[:], vt, df.SEQ, True, carry_f32=True)
             done = stop == "conv4"
@@ -113,7 +107,8 @@ def main(mode="bf16", v_tile=16):
                 e_sel, t_sel = df.gate_selectors(vt)
                 out = call(
                     lat, g_step,
-                    df.upsample_matrix(df.FEAT, dtype), df.upsample_matrix(2 * df.FEAT, dtype),
+                    df.upsample_shift_matrices(df.FEAT, dtype),
+                    df.upsample_shift_matrices(2 * df.FEAT, dtype),
                     e_sel, t_sel,
                     folded["w1"], folded["b1"], folded["w2"], folded["b2"],
                     folded["w3"], folded["b3"], folded["w4"], folded["b4"],
