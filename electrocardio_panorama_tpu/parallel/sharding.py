@@ -34,8 +34,18 @@ def build_dp_train_step(model_def, cfg, tx, mesh: Mesh, axis: str = "data",
     the step bit-compatible with the single-device Solver step on the same
     full batch — the full-batch psum-synced BN plus pmean'd grads reproduce
     the single-device update exactly (pinned by tests/test_sharding.py).
+
+    Honors ``cfg.TPU.compute_dtype='bfloat16'`` with the same mixed-precision
+    policy as Solver._build_train_step: f32 master params/opt/BN running
+    stats, bf16 forward/backward, f32 loss and f32 grad pmean.
     """
     use_noise = bool(cfg.DATA.noise)
+    compute_dtype = jnp.dtype(cfg.TPU.compute_dtype)
+    mixed = compute_dtype != jnp.float32
+    _cast = lambda t: jax.tree.map(  # noqa: E731
+        lambda x: x.astype(compute_dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, t
+    )
 
     def local_step(params, bn_state, opt_state, rng, i1, i2,
                    data, input_theta, target_theta, rois, target_view, noise):
@@ -45,10 +55,22 @@ def build_dp_train_step(model_def, cfg, tx, mesh: Mesh, axis: str = "data",
         )
 
         def loss_fn(p):
+            if mixed:
+                p, d, it, tt = _cast((p, data, input_theta, target_theta))
+            else:
+                d, it, tt = data, input_theta, target_theta
             (out, sp, sl), new_bn = model_def.apply(
-                p, bn_state, data, input_theta, target_theta, rois,
+                p, bn_state, d, it, tt, rois,
                 phase="train", rng=rng, shuffle_idx=(i1, i2), bn_axis=axis,
             )
+            if mixed:
+                out, sp, sl = (
+                    x.astype(jnp.float32) for x in (out, sp, sl)
+                )
+                new_bn = jax.tree.map(
+                    lambda x: x.astype(jnp.float32)
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x, new_bn
+                )
             if use_noise:
                 out = out + noise[:, None, :]
             loss, lo1, lo2, lo3 = loss_wrapper(out, sp, sl, target_view[:, None, :], cfg)

@@ -256,3 +256,38 @@ def test_view_sharded_panorama_fused_kernel(cfg):
     pano_ref = np.asarray(render_ref(pr, br, data, it, rois, vs))
     assert pano_fused.shape == pano_ref.shape == (4, 32, 512)
     np.testing.assert_allclose(pano_fused, pano_ref, atol=2e-5)
+
+
+def test_dp_step_mixed_precision(cfg):
+    """The shard_map dp step honors TPU.compute_dtype='bfloat16' with f32
+    master params/BN stats (the Solver policy) and produces finite losses."""
+    mcfg = cfg.clone()
+    mcfg.TPU.compute_dtype = "bfloat16"
+    mesh = make_mesh((8,), ("data",))
+    model = build_model(mcfg)
+    rng_np = np.random.default_rng(3)
+    batch = make_batch(rng_np, B=16)
+    params, bn_state = model.init(jax.random.PRNGKey(3))
+    tx = get_optimizer(mcfg)
+    opt = tx.init(params)
+    step = build_dp_train_step(model, mcfg, tx, mesh)
+
+    arrays = put_batch(
+        tuple(batch[k] for k in
+              ("data", "input_theta", "target_theta", "rois", "target_view", "noise")),
+        mesh,
+    )
+    params, bn_state, opt, lvec = step(
+        put_replicated(params, mesh), put_replicated(bn_state, mesh),
+        put_replicated(opt, mesh), jax.random.PRNGKey(0),
+        jnp.asarray(0), jnp.asarray(1), *arrays,
+    )
+    assert np.isfinite(np.asarray(lvec)).all()
+    assert all(
+        v.dtype == np.float32
+        for v in jax.tree.leaves(params) if np.issubdtype(v.dtype, np.floating)
+    )
+    assert all(
+        v.dtype == np.float32
+        for v in jax.tree.leaves(bn_state) if np.issubdtype(v.dtype, np.floating)
+    )
