@@ -11,15 +11,15 @@ This kernel keeps the whole chain in VMEM per (beat, view-tile) program:
 
   * BN is affine at inference -> folded into conv weights/bias ahead of time
     (fold_decoder_bn);
-  * each k3 conv is THREE accumulating MXU matmuls W_tap [Cout, Cin] @
-    H_shift [Cin, VT*T], one per tap, over lane-shifted+boundary-masked
-    copies of the activation (shift is uniform across the view tile, so
-    views batch along the flattened (view, time) axis; the per-tap form
-    avoids materializing a [3*Cin, VT*T] stacked operand, which measured as
-    ~35% of the conv-stage time in the merged-tap formulation);
-  * the x2 linear upsample (even = 0.25 left + 0.75 x; odd = 0.75 x + 0.25
-    right, torch align_corners=False parity) is a [N, 2N] matmul on the MXU
-    (interleaving via reshape is not Mosaic-lowerable on the lane dim);
+  * each (x2 upsample -> k3 conv) pair is fused by operator associativity
+    (_upconv3): conv(up(h)) = sum_k W_k @ (h @ U_k) with tap-shifted
+    upsample matrices whose zero boundary columns realize the conv's
+    per-view zero padding (the upsample encodes torch's align_corners=False
+    half-pixel + edge-clamp semantics exactly);
+  * the remaining k3 convs are THREE accumulating MXU matmuls W_tap
+    [Cout, Cin] @ H_shift [Cin, VT*T], one per tap, over lane-shifted +
+    boundary-masked copies of the activation (shift is uniform across the
+    view tile, so views batch along the flattened (view, time) axis);
   * one HBM read (latent 256x128 per beat + gates per view) and one write
     (the [VT, 512] waveforms).
 
@@ -85,8 +85,8 @@ def fold_decoder_bn(params: dict, state: dict, dtype=jnp.float32) -> dict:
     return out
 
 
-def upsample_matrix(n: int, dtype=jnp.float32) -> jnp.ndarray:
-    """[n, 2n] matrix U with u = x @ U == torch Upsample(x2, linear,
+def _upsample_np(n: int):
+    """numpy [n, 2n] matrix U with x @ U == torch Upsample(x2, linear,
     align_corners=False), edge clamp included."""
     import numpy as np
 
@@ -96,7 +96,12 @@ def upsample_matrix(n: int, dtype=jnp.float32) -> jnp.ndarray:
         U[k, 2 * k] += 0.75
         U[k, 2 * k + 1] += 0.75
         U[min(k + 1, n - 1), 2 * k + 1] += 0.25
-    return jnp.asarray(U, dtype)
+    return U
+
+
+def upsample_matrix(n: int, dtype=jnp.float32) -> jnp.ndarray:
+    """[n, 2n] upsample matrix (see _upsample_np) as a jax array."""
+    return jnp.asarray(_upsample_np(n), dtype)
 
 
 def upsample_shift_matrices(n: int, dtype=jnp.float32) -> jnp.ndarray:
@@ -105,12 +110,7 @@ def upsample_shift_matrices(n: int, dtype=jnp.float32) -> jnp.ndarray:
     boundaries (which realizes the conv's per-view zero padding)."""
     import numpy as np
 
-    u = np.zeros((n, 2 * n), np.float64)
-    for k in range(n):
-        u[max(k - 1, 0), 2 * k] += 0.25
-        u[k, 2 * k] += 0.75
-        u[k, 2 * k + 1] += 0.75
-        u[min(k + 1, n - 1), 2 * k + 1] += 0.25
+    u = _upsample_np(n)
     u0 = np.zeros_like(u)
     u0[:, 1:] = u[:, :-1]
     u2 = np.zeros_like(u)
@@ -236,18 +236,6 @@ def _conv3(h, w_taps, b, vt: int, t: int, relu: bool, *, carry_f32: bool = False
     # onward — rounding this late in the chain to bf16 is the dominant
     # precision loss (docs/KERNELS.md)
     return acc if carry_f32 else acc.astype(h.dtype)
-
-
-def _upsample_mm(h, u, vt: int, n: int):
-    """[C, VT*N] per-view x2 upsample via matmul: -> [C, VT*2N] (f32 accum)."""
-    c = h.shape[0]
-    hv = h.reshape(c * vt, n)  # major-dims merge only; lane dim unchanged
-    prec = jax.lax.Precision.HIGHEST if hv.dtype == jnp.float32 else None
-    out = jax.lax.dot_general(
-        hv, u, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    ).astype(h.dtype)
-    return out.reshape(c, vt * 2 * n)
 
 
 def _upconv3(h, w_taps, b, u3, vt: int, n_in: int, relu: bool):
