@@ -254,6 +254,8 @@ def _upconv3(h, w_taps, b, u3, vt: int, n_in: int, relu: bool):
     """
     od = w_taps.dtype
     cout = w_taps.shape[1]
+    # three separate W_k @ h matmuls measured ~2% faster than one batched
+    # [3*Cout, Cin] matmul + sublane slices — keep the per-tap form
     acc = None
     for k in range(3):
         g = _dot_f32(w_taps[k], h.astype(od))             # [Cout, VT*n_in] f32
