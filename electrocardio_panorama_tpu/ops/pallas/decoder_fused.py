@@ -139,7 +139,11 @@ def vmem_bytes_estimate(v_tile: int, storage_dtype) -> int:
     Models the widest pipeline stages: input activation + the two
     lane-shifted tap operands + the int32 boundary-position iota + the f32
     accumulator, doubled for Mosaic scheduling/double-buffer headroom, plus
-    the resident weights/upsample matrices and I/O blocks.
+    the resident weights/upsample matrices and I/O blocks. The stage terms
+    below model the PRE-upconv-fusion formulation, which strictly upper-
+    bounds the fused chain's working set (the upconv stages hold one
+    [Cout, VT*n] f32 intermediate instead of three shifted operands), so
+    the estimate stays conservative.
     """
     s = jnp.dtype(storage_dtype).itemsize
     consts = (256 * FEAT + v_tile * 256 + v_tile * SEQ) * s
