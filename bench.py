@@ -177,14 +177,14 @@ def main():
     opt_state = tx.init(params)
     import optax
 
+    from electrocardio_panorama_tpu.training.precision import (
+        cast_floats, cast_floats_f32)
+
     def make_train_chain(compute_dtype):
-        # mirrors Solver._build_train_step's mixed-precision policy: master
-        # params f32, forward/backward in compute_dtype, f32 loss
+        # the Solver's mixed-precision policy (training/precision.py):
+        # master params f32, forward/backward in compute_dtype, f32 loss
         mixed = compute_dtype != jnp.float32
-        castc = lambda t: jax.tree.map(
-            lambda x: x.astype(compute_dtype)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, t
-        )
+        castc = lambda t: cast_floats(t, compute_dtype)
 
         @jax.jit
         def train_chain(p, bn, opt, rng_key, data, input_theta, target_theta,
@@ -203,11 +203,8 @@ def main():
                         shuffle_idx=(0, 1),
                     )
                     if mixed:
-                        out, sp, sl = (x.astype(jnp.float32) for x in (out, sp, sl))
-                        new_bn = jax.tree.map(
-                            lambda x: x.astype(jnp.float32)
-                            if jnp.issubdtype(x.dtype, jnp.floating) else x, new_bn
-                        )
+                        out, sp, sl = cast_floats_f32((out, sp, sl))
+                        new_bn = cast_floats_f32(new_bn)
                     loss, *_ = loss_wrapper(out, sp, sl, target_view[:, None, :], cfg)
                     return loss, new_bn
 

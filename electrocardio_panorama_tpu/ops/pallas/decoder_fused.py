@@ -149,7 +149,7 @@ def vmem_bytes_estimate(v_tile: int, storage_dtype) -> int:
     consts = (256 * FEAT + v_tile * 256 + v_tile * SEQ) * s
     weights = (
         3 * (128 * 256 + 128 * 128 + 64 * 128 + 64 * 64 + 1 * 64) * s
-        + (FEAT * 2 * FEAT + 2 * FEAT * SEQ) * s  # upsample matrices
+        + 3 * (FEAT * 2 * FEAT + 2 * FEAT * SEQ) * s  # [3, n, 2n] shift stacks
         + (128 + 128 + 64 + 64 + 1) * 4  # biases
     )
     # conv1: h/left/right [256, VT*256] + iota i32 + accum [128, VT*256] f32
@@ -264,11 +264,7 @@ def _upconv3(h, w_taps, b, u3, vt: int, n_in: int, relu: bool):
     for k in range(3):
         g = _dot_f32(w_taps[k], h.astype(od))             # [Cout, VT*n_in] f32
         g2 = g.astype(od).reshape(cout * vt, n_in)
-        prec = jax.lax.Precision.HIGHEST if od == jnp.float32 else None
-        y = jax.lax.dot_general(                          # [Cout*VT, 2*n_in]
-            g2, u3[k], dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        )
+        y = _dot_f32(g2, u3[k])                           # [Cout*VT, 2*n_in]
         acc = y if acc is None else acc + y
     acc = acc.reshape(cout, vt * 2 * n_in) + b[:, None]
     if relu:

@@ -21,6 +21,7 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from electrocardio_panorama_tpu.models.losses import loss_wrapper
+from electrocardio_panorama_tpu.training.precision import cast_floats, cast_floats_f32
 
 
 def build_dp_train_step(model_def, cfg, tx, mesh: Mesh, axis: str = "data",
@@ -42,10 +43,7 @@ def build_dp_train_step(model_def, cfg, tx, mesh: Mesh, axis: str = "data",
     use_noise = bool(cfg.DATA.noise)
     compute_dtype = jnp.dtype(cfg.TPU.compute_dtype)
     mixed = compute_dtype != jnp.float32
-    _cast = lambda t: jax.tree.map(  # noqa: E731
-        lambda x: x.astype(compute_dtype)
-        if jnp.issubdtype(x.dtype, jnp.floating) else x, t
-    )
+    _cast = lambda t: cast_floats(t, compute_dtype)  # noqa: E731
 
     def local_step(params, bn_state, opt_state, rng, i1, i2,
                    data, input_theta, target_theta, rois, target_view, noise):
@@ -64,13 +62,8 @@ def build_dp_train_step(model_def, cfg, tx, mesh: Mesh, axis: str = "data",
                 phase="train", rng=rng, shuffle_idx=(i1, i2), bn_axis=axis,
             )
             if mixed:
-                out, sp, sl = (
-                    x.astype(jnp.float32) for x in (out, sp, sl)
-                )
-                new_bn = jax.tree.map(
-                    lambda x: x.astype(jnp.float32)
-                    if jnp.issubdtype(x.dtype, jnp.floating) else x, new_bn
-                )
+                out, sp, sl = cast_floats_f32((out, sp, sl))
+                new_bn = cast_floats_f32(new_bn)
             if use_noise:
                 out = out + noise[:, None, :]
             loss, lo1, lo2, lo3 = loss_wrapper(out, sp, sl, target_view[:, None, :], cfg)
@@ -112,7 +105,7 @@ def build_sharded_panorama(model_def, mesh: Mesh, *, data_axis: str = "data",
 
     ``use_fused=True`` decodes each (batch-shard x view-shard) slice with the
     fused Pallas decoder (ops/pallas/decoder_fused.py) — the flagship
-    single-chip pipeline running per device under shard_map, so the ~500k
+    single-chip pipeline running per device under shard_map, so the ~650k
     views/s/chip bf16 path scales across the mesh with no collectives in the
     decode. ``compute_dtype=jnp.bfloat16`` selects the throughput pipeline;
     BN folding happens in-jit from the replicated params (negligible next to

@@ -119,12 +119,12 @@ class Solver:
         # promotes), rois stay f32 (ROI index math is f32 internally), and
         # outputs are cast back to f32 before the loss. bf16 shares f32's
         # exponent range so no loss scaling is needed.
+        from electrocardio_panorama_tpu.training.precision import (
+            cast_floats, cast_floats_f32)
+
         compute_dtype = jnp.dtype(cfg.TPU.compute_dtype)
         mixed = compute_dtype != jnp.float32
-        _cast = lambda t: jax.tree.map(  # noqa: E731
-            lambda x: x.astype(compute_dtype)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, t
-        )
+        _cast = lambda t: cast_floats(t, compute_dtype)  # noqa: E731
 
         @partial(jax.jit, donate_argnums=(0, 1, 2))
         def step(params, bn_state, opt_state, rng, i1, i2,
@@ -140,14 +140,8 @@ class Solver:
                     phase="train", rng=rng, shuffle_idx=(i1, i2),
                 )
                 if mixed:
-                    out, sp, sl = (
-                        out.astype(jnp.float32), sp.astype(jnp.float32),
-                        sl.astype(jnp.float32),
-                    )
-                    new_bn = jax.tree.map(
-                        lambda x: x.astype(jnp.float32)
-                        if jnp.issubdtype(x.dtype, jnp.floating) else x, new_bn
-                    )
+                    out, sp, sl = cast_floats_f32((out, sp, sl))
+                    new_bn = cast_floats_f32(new_bn)
                 if use_noise:
                     out = out + noise[:, None, :]
                 loss, lo1, lo2, lo3 = self.loss(
