@@ -151,6 +151,33 @@ def main():
     results["xla_bf16"] = K * B * V / med
     stds["xla_bf16"] = round(std, 1)
 
+    # ---- paths 4+5: XLA decoder in f32 — the like-for-like baselines for the
+    # two fused pipelines. On TPU a DEFAULT-precision f32 matmul/conv truncates
+    # operands to one bf16 MXU pass (f32 storage, bf16 numerics), so
+    # 'xla_f32' pairs with the bf16 kernel's numerics at f32 storage while
+    # 'xla_f32_highest' (multi-pass, f32-accurate) is the honest baseline for
+    # the HIGHEST-precision pallas_fused_f32 pipeline.
+    f32_args = (params, bn_state, *fargs, vstack_f32)
+    med, std = _time(chain, f32_args, 5)
+    results["xla_f32"] = K * B * V / med
+    stds["xla_f32"] = round(std, 1)
+
+    @jax.jit
+    def chain_hi(p, s, data, input_theta, rois, vs):
+        with jax.default_matmul_precision("highest"):
+            latent = model.encode(p, data, input_theta, rois).latent_all
+
+            def body(carry, v):
+                out = model.decode_views(p, s, latent, v)
+                return carry + out.astype(jnp.float32).sum(), None
+
+            acc, _ = jax.lax.scan(body, 0.0, vs)
+            return acc
+
+    med, std = _time(chain_hi, f32_args, 5)
+    results["xla_f32_highest"] = K * B * V / med
+    stds["xla_f32_highest"] = round(std, 1)
+
     # ---- encode stage alone (K-chained over perturbed batches so XLA cannot
     # hoist the loop-invariant encode; measured 1.4 ms/launch = ~8% of the
     # per-launch fused path; see tools/bench_encode_share.py for the bf16
@@ -168,6 +195,42 @@ def main():
     datas = jnp.stack([fargs[0] + 1e-6 * k for k in range(K_ENC)])
     enc_med, _ = _time(enc_chain, (params, datas, fargs[1], fargs[2]), 5)
     encode_ms = 1e3 * enc_med / K_ENC
+
+    # ---- dense full-record sweep (BASELINE config 5 workload on one chip):
+    # every beat of several records batches together (the beat axis IS the
+    # batch axis) x 360 continuous viewpoints — demo.ipynb cells 2-4 scaled
+    # to the full-record/continuous-sweep shape, fused bf16 pipeline.
+    from electrocardio_panorama_tpu.ops.pallas.decoder_fused import (
+        fold_decoder_bn,
+        fused_decode_views,
+    )
+
+    B_DS, V_DS, K_DS = 48, 360, 4  # e.g. 8 records x 6 beats, 360-view sweep
+    ds_batch = _synth_batch(rng, B=B_DS)
+    folded16 = fold_decoder_bn(params, bn_state, dtype=jnp.bfloat16)
+    vs_ds = jnp.asarray(
+        rng.uniform(-np.pi, np.pi, (K_DS, B_DS, V_DS, 2)).astype(np.float32)
+    )
+
+    @jax.jit
+    def dense_chain(p, f, data, input_theta, rois, vs):
+        latent = model.encode(p, data, input_theta, rois).latent_all
+        latent = latent.astype(jnp.bfloat16)
+
+        def body(carry, v):
+            gates = query_gates(p, v).astype(jnp.bfloat16)
+            out = fused_decode_views(f, latent, gates, v_tile=16)
+            return carry + out.sum(), None
+
+        acc, _ = jax.lax.scan(body, 0.0, vs)
+        return acc
+
+    ds_args = (
+        params, folded16, jnp.asarray(ds_batch["data"]),
+        jnp.asarray(ds_batch["input_theta"]), jnp.asarray(ds_batch["rois"]), vs_ds,
+    )
+    ds_med, _ = _time(dense_chain, ds_args, 5)
+    dense_sweep_views_per_sec = K_DS * B_DS * V_DS / ds_med
 
     # ---- train-step latency (batch 32, forward+loss+SGD, K-chained)
     from electrocardio_panorama_tpu.models.losses import loss_wrapper
@@ -257,6 +320,8 @@ def main():
         "batch_beats": B,
         "views_per_beat": V,
         "chained_launches": K,
+        "dense_sweep_views_per_sec": round(dense_sweep_views_per_sec, 1),
+        "dense_sweep_shape": [B_DS, V_DS],
         "encode_ms_per_launch_batch32": round(encode_ms, 3),
         "train_step_ms_batch32": round(train_step_ms, 3),
         "train_step_ms_batch32_bf16": round(train_step_ms_bf16, 3),

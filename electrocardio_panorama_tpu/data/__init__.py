@@ -64,19 +64,25 @@ def build_dataset(cfg, phase: str):
         marker = f"{root}/tianchi_train_jsons.txt"
         n_train = int(getattr(cfg.DATA, "synthetic_n_train", 16))
         n_test = int(getattr(cfg.DATA, "synthetic_n_test", 8))
-        # an existing corpus is only reused if it was generated at the SAME
-        # size — otherwise a resized config would silently train on the stale
-        # corpus (the marker lists one record name per line)
-        reuse = False
-        if os.path.exists(marker):
-            with open(marker) as f:
-                have_train = sum(1 for line in f if line.strip())
-            reuse = have_train == n_train
-            if not reuse:
-                print(
-                    f"synthetic corpus at {root} has {have_train} train records "
-                    f"but the config asks for {n_train}; regenerating"
-                )
+        # an existing corpus is only reused if BOTH splits were generated at
+        # the SAME size — otherwise a resized config would silently train or
+        # eval on the stale corpus (each marker lists one record per line)
+        test_marker = f"{root}/tianchi_test_jsons.txt"
+
+        def _lines(path):
+            if not os.path.exists(path):
+                return -1
+            with open(path) as f:
+                return sum(1 for line in f if line.strip())
+
+        have_train, have_test = _lines(marker), _lines(test_marker)
+        reuse = have_train == n_train and have_test == n_test
+        if not reuse and have_train >= 0:
+            print(
+                f"synthetic corpus at {root} has {have_train} train / "
+                f"{have_test} test records but the config asks for "
+                f"{n_train}/{n_test}; regenerating"
+            )
         if not reuse:
             from electrocardio_panorama_tpu.data.synthetic import generate_tianchi_dataset
 

@@ -45,6 +45,7 @@ class BeatLoader:
         num_threads: int = 0,
         sample_weights=None,
         num_samples: int = 5000,
+        process_slice: slice | None = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -53,6 +54,17 @@ class BeatLoader:
         self.seed = seed
         self.num_threads = num_threads
         self.epoch = 0
+        # Multi-host data parallelism: every process iterates the SAME global
+        # index order (seeded identically), but assembles only its
+        # local_batch_slice of each batch — per-example RNG streams stay keyed
+        # by GLOBAL batch position, so the global batch is identical to the
+        # single-process one regardless of topology (parallel/multihost.py).
+        self.process_slice = process_slice
+        if process_slice is not None and not drop_last:
+            raise ValueError(
+                "process_slice requires drop_last=True (a ragged final batch "
+                "would desync the per-process slices)"
+            )
         # WeightedRandomSampler equivalence (reference train_net.py:22-26):
         # draw num_samples indices with replacement, weighted.
         self.sample_weights = None
@@ -101,6 +113,10 @@ class BeatLoader:
             (b * self.batch_size, min((b + 1) * self.batch_size, ends))
             for b in range((ends + self.batch_size - 1) // self.batch_size)
         ]
+        def batch_offsets(lo, hi):
+            offs = range(hi - lo)
+            return offs if self.process_slice is None else offs[self.process_slice]
+
         if self.num_threads > 1:
             # one pool per epoch (not per batch), with a one-batch lookahead:
             # batch i+1 assembles on the pool while the caller consumes batch i.
@@ -112,8 +128,8 @@ class BeatLoader:
                 def fetch(span):
                     lo, hi = span
                     return collate(list(pool.map(
-                        lambda t: self._example(int(t[1]), lo + t[0]),
-                        enumerate(order[lo:hi]),
+                        lambda off: self._example(int(order[lo + off]), lo + off),
+                        batch_offsets(lo, hi),
                     )))
 
                 pending = pool.submit(fetch, spans[0]) if spans else None
@@ -127,7 +143,7 @@ class BeatLoader:
         else:
             for lo, hi in spans:
                 yield collate([
-                    self._example(int(ix), lo + off)
-                    for off, ix in enumerate(order[lo:hi])
+                    self._example(int(order[lo + off]), lo + off)
+                    for off in batch_offsets(lo, hi)
                 ])
         self.epoch += 1

@@ -20,7 +20,12 @@ import jax
 import jax.numpy as jnp
 
 from electrocardio_panorama_tpu.models import init as inits
-from electrocardio_panorama_tpu.ops import batch_norm1d, conv1d, dropout
+from electrocardio_panorama_tpu.ops import (
+    batch_norm1d,
+    conv1d,
+    dropout,
+    group_batch_norm1d,
+)
 
 DROPOUT_RATE = 0.2
 
@@ -92,29 +97,40 @@ def model_block(p: dict, prefix: str, x, *, groups: int, rng, train: bool):
     return jnp.maximum(out + residual, 0)
 
 
-def double_conv(p: dict, s: dict, prefix: str, x, *, train: bool, bn_axis: str | None = None):
-    """Returns (out, state_updates) — state_updates holds new BN running stats."""
+def double_conv(p: dict, s: dict, prefix: str, x, *, train: bool, bn_axis: str | None = None,
+                bn_groups: int = 1):
+    """Returns (out, state_updates) — state_updates holds new BN running stats.
+
+    ``bn_groups=G`` (train only): x is group-major [G*B, C, L] and each group
+    normalizes with its own batch statistics, running stats EMA-chained in
+    group order — G sequential decoder calls batched into one (the Nef-Net
+    three-decode restructuring; ops.group_batch_norm1d).
+    """
     updates = {}
+
+    def bn(h, i):
+        if train and bn_groups > 1:
+            out, m, v = group_batch_norm1d(
+                h, p[f"{prefix}.{i}.weight"], p[f"{prefix}.{i}.bias"],
+                s[f"{prefix}.{i}.running_mean"], s[f"{prefix}.{i}.running_var"],
+                groups=bn_groups, axis_name=bn_axis,
+            )
+        else:
+            out, m, v = batch_norm1d(
+                h, p[f"{prefix}.{i}.weight"], p[f"{prefix}.{i}.bias"],
+                s[f"{prefix}.{i}.running_mean"], s[f"{prefix}.{i}.running_var"],
+                train=train, axis_name=bn_axis,
+            )
+        if train:
+            updates[f"{prefix}.{i}.running_mean"] = m
+            updates[f"{prefix}.{i}.running_var"] = v
+            updates[f"{prefix}.{i}.num_batches_tracked"] = (
+                s[f"{prefix}.{i}.num_batches_tracked"] + bn_groups
+            )
+        return out
+
     out = conv1d(x, p[f"{prefix}.0.weight"], p[f"{prefix}.0.bias"], padding=1)
-    out, m, v = batch_norm1d(
-        out, p[f"{prefix}.1.weight"], p[f"{prefix}.1.bias"],
-        s[f"{prefix}.1.running_mean"], s[f"{prefix}.1.running_var"], train=train,
-        axis_name=bn_axis,
-    )
-    if train:
-        updates[f"{prefix}.1.running_mean"] = m
-        updates[f"{prefix}.1.running_var"] = v
-        updates[f"{prefix}.1.num_batches_tracked"] = s[f"{prefix}.1.num_batches_tracked"] + 1
-    out = jnp.maximum(out, 0)
+    out = jnp.maximum(bn(out, 1), 0)
     out = conv1d(out, p[f"{prefix}.3.weight"], p[f"{prefix}.3.bias"], padding=1)
-    out, m, v = batch_norm1d(
-        out, p[f"{prefix}.4.weight"], p[f"{prefix}.4.bias"],
-        s[f"{prefix}.4.running_mean"], s[f"{prefix}.4.running_var"], train=train,
-        axis_name=bn_axis,
-    )
-    if train:
-        updates[f"{prefix}.4.running_mean"] = m
-        updates[f"{prefix}.4.running_var"] = v
-        updates[f"{prefix}.4.num_batches_tracked"] = s[f"{prefix}.4.num_batches_tracked"] + 1
-    out = jnp.maximum(out, 0)
+    out = jnp.maximum(bn(out, 4), 0)
     return out, updates

@@ -113,18 +113,24 @@ def init_nefnet(rng, *, lead_num: int, theta_encoder_len: int = 1, dtype=jnp.flo
 
 
 # -------------------------------------------------------------------- decoder
-def decoder_apply(p: dict, s: dict, x, *, train: bool, bn_axis: str | None = None):
+def decoder_apply(p: dict, s: dict, x, *, train: bool, bn_axis: str | None = None,
+                  bn_groups: int = 1):
     """Upsample->DoubleConv(256,128)->Upsample->DoubleConv(128,64)->Conv(64,1).
 
     x: [N, 256, 128] -> [N, 1, 512] logits (pre-sigmoid). Returns (out, updates).
     `bn_axis` enables psum-synced BN batch stats under data parallelism.
+    `bn_groups=G` (train): x is group-major [G*B, ...] and BN statistics are
+    per-group with EMA-chained running stats — G sequential decoder calls in
+    one batched pass (see blocks.double_conv).
     """
     updates = {}
     h = upsample_linear_x2(x)
-    h, u = double_conv(p, s, "decoder.1.double_conv", h, train=train, bn_axis=bn_axis)
+    h, u = double_conv(p, s, "decoder.1.double_conv", h, train=train, bn_axis=bn_axis,
+                       bn_groups=bn_groups)
     updates.update(u)
     h = upsample_linear_x2(h)
-    h, u = double_conv(p, s, "decoder.3.double_conv", h, train=train, bn_axis=bn_axis)
+    h, u = double_conv(p, s, "decoder.3.double_conv", h, train=train, bn_axis=bn_axis,
+                       bn_groups=bn_groups)
     updates.update(u)
     h = conv1d(h, p["decoder.4.weight"], p["decoder.4.bias"], padding=1)
     return h, updates
@@ -230,6 +236,7 @@ def nefnet_apply(
     rng=None,
     shuffle_idx=None,
     bn_axis: str | None = None,
+    rest_decode_fn=None,
 ):
     """Full forward, reference-parity (model_nefnet.py:109-194).
 
@@ -238,6 +245,10 @@ def nefnet_apply(
                    `shuffle_idx` = (z1_lead, z2_lead) ints.
     phase 'val'/'test': returns ((out, shuffle_p, shuffle_l, rest_out), state).
     phase 'gen': returns ((z1, z2_pre_reverse), state).
+
+    `rest_decode_fn(latent_all, rest_theta) -> [B, R, 512]`, when given,
+    replaces the XLA `decode_views` for the rest-view sweep — the Solver
+    injects the fused Pallas decoder here (training/solver.py).
     """
     train = phase == "train"
     if phase == "gen":
@@ -278,16 +289,23 @@ def nefnet_apply(
     gate_q = query_gates(p, query_theta, theta_encoder_len=theta_encoder_len)  # [B, 256]
 
     if train:
-        # Three sequential decodes: BN batch stats + running-stat update order
-        # must match the reference's three separate calls.
+        # The reference decodes pred / shuffle_patient / shuffle_lead as three
+        # separate calls whose BN batch stats and running-stat update ORDER
+        # are part of the training semantics (model_nefnet.py:167-176). Here
+        # the three decodes batch into ONE pass with per-group BN statistics
+        # and closed-form EMA chaining (ops.group_batch_norm1d) — numerically
+        # the sequential computation, one launch instead of three (pinned by
+        # tests/test_model_parity.py::test_grouped_decode_matches_sequential).
+        gx = gate_q[:, :, None]
+        stacked = jnp.concatenate(
+            [gx * lat.latent_all, gx * shuffle_patient_all, gx * shuffle_lead_all],
+            axis=0,
+        )  # [3B, 256, 128] group-major
+        outs, u = decoder_apply(p, s, stacked, train=True, bn_axis=bn_axis, bn_groups=3)
         new_s = dict(s)
-        out, u = _decode(p, new_s, lat.latent_all, gate_q, train=True, bn_axis=bn_axis)
         new_s.update(u)
-        shuffle_p, u = _decode(p, new_s, shuffle_patient_all, gate_q, train=True, bn_axis=bn_axis)
-        new_s.update(u)
-        shuffle_l, u = _decode(p, new_s, shuffle_lead_all, gate_q, train=True, bn_axis=bn_axis)
-        new_s.update(u)
-        return (out, shuffle_p, shuffle_l), new_s
+        outs = jax.nn.sigmoid(outs / 3.0).reshape(3, B, 1, SEQ_LEN)
+        return (outs[0], outs[1], outs[2]), new_s
 
     # eval: BN running stats -> all decodes batch into one launch.
     stacked = jnp.stack([lat.latent_all, shuffle_patient_all, shuffle_lead_all], axis=1)
@@ -297,9 +315,12 @@ def nefnet_apply(
     outs3 = jax.nn.sigmoid(outs3 / 3.0).reshape(B, 3, 1, SEQ_LEN)
     out, shuffle_p, shuffle_l = outs3[:, 0], outs3[:, 1], outs3[:, 2]
 
-    rest_out = decode_views(
-        p, s, lat.latent_all, rest_theta, theta_encoder_len=theta_encoder_len
-    )  # [B, R, 512]
+    if rest_decode_fn is not None:
+        rest_out = rest_decode_fn(lat.latent_all, rest_theta)  # [B, R, 512]
+    else:
+        rest_out = decode_views(
+            p, s, lat.latent_all, rest_theta, theta_encoder_len=theta_encoder_len
+        )  # [B, R, 512]
     return (out, shuffle_p, shuffle_l, rest_out), s
 
 

@@ -124,7 +124,8 @@ def encode_latents2(p, x, input_thetas, rois, *, lead_num: int,
 
 def nefnet2_apply(p, s, x, input_thetas, query_theta, rois, rest_theta=None, *,
                   lead_num: int, theta_encoder_len: int = 1, phase: str = "train",
-                  rng=None, shuffle_idx=None, bn_axis: str | None = None):
+                  rng=None, shuffle_idx=None, bn_axis: str | None = None,
+                  rest_decode_fn=None):
     train = phase == "train"
     if phase not in ("train", "val", "test", "gen"):
         raise KeyError("please type correct phase")
@@ -169,5 +170,8 @@ def nefnet2_apply(p, s, x, input_thetas, query_theta, rois, rest_theta=None, *,
     out, _ = _decode(p, s, latent_all, gate_q, train=False)
     sp, _ = _decode(p, s, shuffle_patient_all, gate_q, train=False)
     sl, _ = _decode(p, s, shuffle_lead_all, gate_q, train=False)
-    rest_out = decode_views(p, s, latent_all, rest_theta, theta_encoder_len=theta_encoder_len)
+    if rest_decode_fn is not None:
+        rest_out = rest_decode_fn(latent_all, rest_theta)
+    else:
+        rest_out = decode_views(p, s, latent_all, rest_theta, theta_encoder_len=theta_encoder_len)
     return (out, sp, sl, rest_out), s

@@ -2,6 +2,7 @@
 
 from electrocardio_panorama_tpu.ops.convs import (
     batch_norm1d,
+    group_batch_norm1d,
     conv1d,
     conv_transpose1d_k2s2,
     dropout,
@@ -21,6 +22,7 @@ __all__ = [
     "linear",
     "dropout",
     "batch_norm1d",
+    "group_batch_norm1d",
     "upsample_linear_x2",
     "interp_linear_coords",
     "roi_align_1d",

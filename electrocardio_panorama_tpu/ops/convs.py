@@ -160,3 +160,54 @@ def batch_norm1d(
     inv = lax.rsqrt(var + eps)
     out = (x - mean[None, :, None]) * (inv * scale)[None, :, None] + offset[None, :, None]
     return out, new_mean, new_var
+
+
+def group_batch_norm1d(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    offset: jnp.ndarray,
+    running_mean: jnp.ndarray,
+    running_var: jnp.ndarray,
+    *,
+    groups: int,
+    momentum: float = 0.1,
+    eps: float = 1e-5,
+    axis_name: str | None = None,
+):
+    """G independent train-mode BatchNorm1d calls batched into one op.
+
+    x is group-major [G*B, C, L]; group g normalizes with ITS OWN biased batch
+    statistics over that group's (B, L) — bitwise the same normalization as G
+    sequential batch_norm1d calls — and the running stats apply the G
+    sequential EMA updates in closed form:
+
+        r_G = (1-m)^G r_0 + m * sum_g (1-m)^(G-1-g) * stat_g
+
+    This is what lets Nef-Net's three train-mode decodes (pred,
+    shuffle_patient, shuffle_lead — reference model_nefnet.py:167-176, whose
+    BN update ORDER is part of the training semantics) run as ONE batched
+    decoder pass instead of three sequential launches. Under data parallelism
+    (`axis_name`) per-group statistics pmean across shards like batch_norm1d.
+    Returns (out, new_running_mean, new_running_var).
+    """
+    gb, c, L = x.shape
+    b = gb // groups
+    xg = x.reshape(groups, b, c, L)
+    n = b * L
+    if axis_name is not None:
+        mean = lax.pmean(jnp.mean(xg, axis=(1, 3)), axis_name)          # [G, C]
+        sq = lax.pmean(jnp.mean(jnp.square(xg), axis=(1, 3)), axis_name)
+        var = sq - jnp.square(mean)
+        n = n * lax.psum(1, axis_name)
+    else:
+        mean = jnp.mean(xg, axis=(1, 3))
+        var = jnp.var(xg, axis=(1, 3))  # biased, used for normalization
+    unbiased = var * n / max(n - 1, 1)
+    keep = (1 - momentum) ** groups
+    w = momentum * (1 - momentum) ** jnp.arange(groups - 1, -1, -1, dtype=var.dtype)
+    new_mean = keep * running_mean + jnp.tensordot(w, mean, axes=1)
+    new_var = keep * running_var + jnp.tensordot(w, unbiased, axes=1)
+    inv = lax.rsqrt(var + eps)
+    out = (xg - mean[:, None, :, None]) * (inv * scale[None])[:, None, :, None] \
+        + offset[None, None, :, None]
+    return out.reshape(gb, c, L), new_mean, new_var

@@ -151,6 +151,9 @@ def vmem_bytes_estimate(v_tile: int, storage_dtype) -> int:
         3 * (128 * 256 + 128 * 128 + 64 * 128 + 64 * 64 + 1 * 64) * s
         + 3 * (FEAT * 2 * FEAT + 2 * FEAT * SEQ) * s  # [3, n, 2n] shift stacks
         + (128 + 128 + 64 + 64 + 1) * 4  # biases
+        # resident gate-selector matrices E [VT, VT*FEAT] + T [FEAT, VT*FEAT],
+        # f32 (the gate stage is f32 in both pipelines) — grows with v_tile
+        + (v_tile * v_tile * FEAT + FEAT * v_tile * FEAT) * 4
     )
     # conv1: h/left/right [256, VT*256] + iota i32 + accum [128, VT*256] f32
     stage1 = 3 * 256 * (v_tile * 2 * FEAT) * s + (256 + 128) * (v_tile * 2 * FEAT) * 4
@@ -254,7 +257,10 @@ def _upconv3(h, w_taps, b, u3, vt: int, n_in: int, relu: bool):
     because of exactly that overhead (docs/KERNELS.md stage profile).
 
     h: [Cin, VT*n_in]; w_taps: [3, Cout, Cin]; u3: [3, n_in, 2*n_in].
-    Returns [Cout, VT*2*n_in] in h.dtype (f32 accumulation throughout).
+    Returns [Cout, VT*2*n_in] in h.dtype. Each matmul accumulates in f32,
+    but in the bf16 pipeline the intermediate g is rounded to the storage
+    dtype between the channel and upsample dots (an intentional, tested
+    trade: tests/test_pallas_decoder.py pins the end-to-end correlation).
     """
     od = w_taps.dtype
     cout = w_taps.shape[1]

@@ -25,6 +25,11 @@ from electrocardio_panorama_tpu.utils import seed_everything
 
 def main(cfg, n_theta=7, n_phi=12, out_path=None, plot_path=None, max_batches=None,
          batch_size=2, use_fused=False):
+    # multi-host init (no-op on one host): the sharded render paths then span
+    # the global mesh (parallel/multihost.py)
+    from electrocardio_panorama_tpu.parallel.multihost import ensure_initialized
+
+    ensure_initialized()
     seed_everything(cfg.seed)
     ckpt = CheckPointer(os.path.join(cfg.output_dir, cfg.desc))
     loaded = ckpt.load(cfg.MODEL.resume or None, best_valid=not cfg.MODEL.resume)

@@ -32,6 +32,10 @@ def _to_jax(tree):
 
 
 class CheckPointer:
+    # multi-host contract: pickle saves happen on process 0 only (the Solver
+    # gates on this flag); Orbax saves are collective across processes
+    collective = False
+
     def __init__(self, save_dir: str | None):
         self.save_dir = save_dir
         if save_dir:
@@ -125,6 +129,8 @@ class OrbaxCheckPointer(CheckPointer):
     directory path, and `load` dispatches on the path suffix so pickle and
     orbax checkpoints coexist in one run directory.
     """
+
+    collective = True  # all processes must enter save() (orbax coordinates)
 
     def save(self, name: str, *, params, bn_state, opt_state=None, **extras) -> str | None:
         if self.save_dir is None:

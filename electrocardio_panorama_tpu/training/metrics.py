@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 from scipy.ndimage import uniform_filter
 
+import jax
 import jax.numpy as jnp
 
 _WIN = 7
@@ -75,11 +76,12 @@ def ssim(pred: np.ndarray, gt: np.ndarray, rois: np.ndarray | None = None) -> fl
 
 
 # --------------------------------------------------------------- jax variants
-def psnr_masked(pred: jnp.ndarray, gt: jnp.ndarray, rois: jnp.ndarray) -> jnp.ndarray:
-    """On-device PSNR over [0 : rois[:, -1, 0]] — same mean-of-per-lead values.
+def psnr_values(pred: jnp.ndarray, gt: jnp.ndarray, rois: jnp.ndarray) -> jnp.ndarray:
+    """On-device per-(sample, lead) PSNR over [0 : rois[:, -1, 0]].
 
-    pred/gt: [B, L, T]; returns a scalar. rmse==0 maps to 100 like the
-    reference (mertic.py:16-17).
+    pred/gt: [B, L, T]; returns [B, L]. rmse==0 maps to 100 like the
+    reference (mertic.py:16-17). Pass rois full of large sentinels for the
+    whole-sequence branch (the end is clamped to T).
     """
     B, L, T = pred.shape
     end = jnp.minimum(rois[:, -1, 0], T)  # [B]; clamp supports full-length sentinels
@@ -87,8 +89,60 @@ def psnr_masked(pred: jnp.ndarray, gt: jnp.ndarray, rois: jnp.ndarray) -> jnp.nd
     diff2 = jnp.square(pred - gt) * mask[:, None, :]
     mse = diff2.sum(axis=2) / jnp.maximum(end[:, None], 1).astype(pred.dtype)  # [B, L]
     rmse = jnp.sqrt(mse)
-    vals = jnp.where(rmse == 0, 100.0, 20 * jnp.log10(1.0 / jnp.maximum(rmse, 1e-30)))
-    return vals.mean()
+    return jnp.where(rmse == 0, 100.0, 20 * jnp.log10(1.0 / jnp.maximum(rmse, 1e-30)))
+
+
+def psnr_masked(pred: jnp.ndarray, gt: jnp.ndarray, rois: jnp.ndarray) -> jnp.ndarray:
+    """Scalar mean of psnr_values — the reference PSNR() contract."""
+    return psnr_values(pred, gt, rois).mean()
+
+
+def ssim_values(pred: jnp.ndarray, gt: jnp.ndarray, rois: jnp.ndarray) -> jnp.ndarray:
+    """On-device per-(sample, lead) SSIM over [0 : rois[:, -1, 0]] — the
+    skimage algorithm (win 7, uniform filter, sample-covariance norm,
+    border-cropped mean) expressed as five ones-kernel convolutions + masked
+    reduction, so whole eval epochs stay on device (the host scipy `ssim` is
+    the float64 oracle; this runs in f32, which agrees to ~1e-4 — the
+    uxx - ux² cancellation is tamed by the C2 stabilizer).
+
+    pred/gt: [B, L, T]; returns [B, L]. Positions whose 7-window crosses the
+    region boundary are excluded exactly like skimage's pad-crop, so the
+    zero padding of the convolution never contaminates the result.
+    """
+    B, L, T = pred.shape
+    end = jnp.minimum(rois[:, -1, 0], T).astype(jnp.int32)  # [B]
+    x = pred.reshape(B * L, T).astype(jnp.float32)
+    y = gt.reshape(B * L, T).astype(jnp.float32)
+    # one grouped conv over the 5 stacked moment inputs
+    stack = jnp.stack([x, y, x * x, y * y, x * y], axis=1)  # [B*L, 5, T]
+    kernel = jnp.full((5, 1, _WIN), 1.0 / _WIN, jnp.float32)
+    # HIGHEST precision is load-bearing on TPU: the default f32 conv truncates
+    # operands to one bf16 MXU pass, and the uxx - ux^2 cancellation then
+    # loses the variance entirely (SSIM read ~0.45 instead of ~0.90 on v5e)
+    u = jax.lax.conv_general_dilated(
+        stack, kernel, window_strides=(1,), padding=[(_WIN // 2, _WIN // 2)],
+        dimension_numbers=("NCH", "OIH", "NCH"), feature_group_count=5,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    ux, uy, uxx, uyy, uxy = (u[:, i] for i in range(5))
+    cov_norm = _WIN / (_WIN - 1)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    c1 = _K1 * _K1  # data_range fixed at 1.0 (reference mertic.py:29)
+    c2 = _K2 * _K2
+    s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / ((ux * ux + uy * uy + c1) * (vx + vy + c2))
+    pad = (_WIN - 1) // 2
+    pos = jnp.arange(T)[None, :]
+    valid = (pos >= pad) & (pos <= end[:, None] - pad - 1)  # [B, T]
+    count = jnp.maximum(end - 2 * pad, 1).astype(jnp.float32)  # [B]
+    sm = (s.reshape(B, L, T) * valid[:, None, :]).sum(axis=2) / count[:, None]
+    return sm
+
+
+def ssim_masked(pred: jnp.ndarray, gt: jnp.ndarray, rois: jnp.ndarray) -> jnp.ndarray:
+    """Scalar mean of ssim_values — the reference SSIM() contract."""
+    return ssim_values(pred, gt, rois).mean()
 
 
 def compute_clf_metrics(pred_probs: np.ndarray, gt_labels: np.ndarray, target_label: int = -1) -> dict:

@@ -46,6 +46,17 @@ def gen_lead_count(cfg) -> int:
     return gen_num
 
 
+def whole_sequence_metrics(cfg) -> bool:
+    """True when eval metrics cover the WHOLE rest_out (no gen/reg split, no
+    roi masking): dataset 'mit', super_mode '_mit', or a super_mode with zero
+    unsupervised leads (reference solver.py:200-206)."""
+    return (
+        cfg.DATA.dataset == "mit"
+        or cfg.DATA.super_mode == "_mit"
+        or (cfg.DATA.super_mode != "normal" and cfg.DATA.super_mode[-1] == "0")
+    )
+
+
 class Solver:
     def __init__(self, cfg, use_writer: bool = True, mesh=None):
         self.cfg = cfg
@@ -56,9 +67,15 @@ class Solver:
         self.loss = build_loss(cfg)
         self.tx = get_optimizer(cfg)
         self.mesh = mesh if mesh is not None else self._make_mesh()
+        if jax.process_count() > 1 and self.mesh is None:
+            raise ValueError(
+                "multi-process runs need a global device mesh: set "
+                "TPU.mesh_shape to cover all devices (e.g. "
+                f"[{len(jax.devices())}]) so batches assemble across hosts"
+            )
         self.writer = (
             ScalarWriter(os.path.join(cfg.output_dir, "tf_logs"))
-            if (use_writer and self.desc != "debug")
+            if (use_writer and self.desc != "debug" and jax.process_index() == 0)
             else ScalarWriter(None)
         )
         self._train_step = self._build_train_step()
@@ -99,12 +116,25 @@ class Solver:
 
     def _shard_batch(self, arrays):
         """Place batch arrays sharded on the data axis (replicated params +
-        sharded batch => XLA GSPMD data parallelism over ICI)."""
+        sharded batch => XLA GSPMD data parallelism over ICI).
+
+        Multi-process (DCN): each process holds only its local_batch_slice of
+        the global batch; `make_array_from_process_local_data` assembles the
+        global array across hosts (the local batch axis times process_count
+        gives the global batch)."""
         if self.mesh is None:
             return arrays
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         sh = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+        if jax.process_count() > 1:
+            n = jax.process_count()
+            return tuple(
+                jax.make_array_from_process_local_data(
+                    sh, np.asarray(a), (a.shape[0] * n, *a.shape[1:])
+                )
+                for a in arrays
+            )
         return tuple(jax.device_put(a, sh) for a in arrays)
 
     # ----------------------------------------------------------------- steps
@@ -160,19 +190,56 @@ class Solver:
 
         return step
 
+    def _eval_decoder_mode(self):
+        """Resolve TPU.eval_decoder: 'auto' rides the fused Pallas kernel
+        whenever a real accelerator backend is present and falls back to the
+        XLA decoder on CPU (where the kernel would run interpreted)."""
+        dec = getattr(self.cfg.TPU, "eval_decoder", "auto")
+        if dec == "auto":
+            dec = "xla" if jax.devices()[0].platform == "cpu" else "fused"
+        if dec not in ("xla", "fused", "fused_bf16"):
+            raise ValueError(
+                f"unknown TPU.eval_decoder {dec!r} "
+                "(use 'auto', 'xla', 'fused', or 'fused_bf16')"
+            )
+        return dec
+
     def _build_eval_step(self):
         cfg = self.cfg
         model = self.model
         loss_fn = self.loss
         gen_num = gen_lead_count(cfg)
-        whole = cfg.DATA.super_mode != "normal" and cfg.DATA.super_mode[-1] == "0"
+        whole = whole_sequence_metrics(cfg)
+        dec = self._eval_decoder_mode()
+        if dec != "xla":
+            from electrocardio_panorama_tpu.models.nefnet import query_gates
+            from electrocardio_panorama_tpu.ops.pallas.decoder_fused import (
+                fold_decoder_bn, fused_decode_views)
+
+            storage = jnp.bfloat16 if dec == "fused_bf16" else jnp.float32
+            v_tile = 16 if storage == jnp.bfloat16 else 8
+            interpret = jax.devices()[0].platform == "cpu"
 
         @jax.jit
         def step(params, bn_state, data, input_theta, target_theta, rois,
                  rest_theta, target_view, rest_view):
+            rest_fn = None
+            if dec != "xla":
+                # BN folding is a handful of [C]-sized ops — folding inside
+                # the step keeps the jit signature unchanged across backends
+                folded = fold_decoder_bn(params, bn_state, dtype=storage)
+
+                def rest_fn(latent_all, r_theta):
+                    gates = query_gates(params, r_theta).astype(storage)
+                    return fused_decode_views(
+                        folded, latent_all.astype(storage), gates,
+                        v_tile=v_tile, interpret=interpret,
+                    )
+
             (out, sp, sl, rest_out), _ = model.apply(
                 params, bn_state, data, input_theta, target_theta, rois,
                 rest_theta, phase="test", shuffle_idx=(0, 0),
+                rest_decode_fn=rest_fn,
             )
             tv = target_view[:, None, :]
             # val-time loss tuple incl. the unsupervised term over the LAST 4
@@ -181,17 +248,31 @@ class Solver:
             loss, lo1f, lo2f, lo3f, lo_unsup = loss_fn(
                 out, sp, sl, tv, cfg, rest_out[:, -4:, :], rest_view[:, -4:, :]
             )
+            # all metrics (PSNR + SSIM, gen/reg split, per-lead) on device —
+            # the reference's per-(sample, lead) skimage loop
+            # (solver.py:202-229) made eval epochs host-SSIM-bound
             if whole or gen_num == 0:
-                psnr_gen = M.psnr_masked(rest_out, rest_view, _full_length_rois(rois))
-                psnr_reg = psnr_gen
+                fr = _full_length_rois(rois)
+                pv = M.psnr_values(rest_out, rest_view, fr)
+                sv = M.ssim_values(rest_out, rest_view, fr)
+                metrics4 = jnp.stack([pv.mean(), pv.mean(), sv.mean(), sv.mean()])
+                single = jnp.zeros((0, 2))
             else:
-                psnr_gen = M.psnr_masked(rest_out[:, -gen_num:], rest_view[:, -gen_num:], rois)
-                psnr_reg = M.psnr_masked(rest_out[:, :-gen_num], rest_view[:, :-gen_num], rois)
+                pv = M.psnr_values(rest_out, rest_view, rois)  # [B, R]
+                sv = M.ssim_values(rest_out, rest_view, rois)  # [B, R]
+                metrics4 = jnp.stack([
+                    pv[:, -gen_num:].mean(), pv[:, :-gen_num].mean(),
+                    sv[:, -gen_num:].mean(), sv[:, :-gen_num].mean(),
+                ])
+                single = jnp.stack(
+                    [pv[:, -gen_num:].mean(axis=0), sv[:, -gen_num:].mean(axis=0)],
+                    axis=1,
+                )  # [gen_num, 2] — per-single-gen-lead (psnr, ssim)
             losses = jnp.stack([
                 loss, jnp.asarray(lo1f), jnp.asarray(lo2f), jnp.asarray(lo3f),
                 lo_unsup,
             ])
-            return out, rest_out, losses, psnr_gen, psnr_reg
+            return out, rest_out, losses, metrics4, single
 
         return step
 
@@ -200,8 +281,6 @@ class Solver:
                       opt_state=None, rng=None):
         cfg = self.cfg
         losses, metrics_all, singlelead = [], [], []
-        gen_num = gen_lead_count(cfg)
-        whole = cfg.DATA.super_mode != "normal" and cfg.DATA.super_mode[-1] == "0"
         host_rng = np.random.default_rng(
             np.random.SeedSequence([cfg.seed, epoch, 0x5EED if phase == "train" else 0xE7A1])
         )
@@ -238,30 +317,13 @@ class Solver:
                     jnp.asarray(batch["rest_theta"]), jnp.asarray(batch["target_view"]),
                     jnp.asarray(batch["rest_view"]),
                 ))
-                out, rest_out, lvec, psnr_gen, psnr_reg = self._eval_step(
+                out, rest_out, lvec, met4, single = self._eval_step(
                     params, bn_state, *arrays
                 )
                 losses.append(np.asarray(lvec))
-                rest_np = np.asarray(rest_out)
-                rest_gt = batch["rest_view"]
-                rois_np = batch["rois"]
-                if whole or gen_num == 0:
-                    ssim_gen = M.ssim(rest_np, rest_gt, None)
-                    ssim_reg = ssim_gen
-                else:
-                    ssim_gen = M.ssim(rest_np[:, -gen_num:], rest_gt[:, -gen_num:], rois_np)
-                    ssim_reg = M.ssim(rest_np[:, :-gen_num], rest_gt[:, :-gen_num], rois_np)
-                    per_lead = []
-                    uo, uv = rest_np[:, -gen_num:], rest_gt[:, -gen_num:]
-                    for i in range(gen_num):
-                        per_lead.append([
-                            M.psnr(uo[:, i : i + 1], uv[:, i : i + 1], rois_np),
-                            M.ssim(uo[:, i : i + 1], uv[:, i : i + 1], rois_np),
-                        ])
-                    singlelead.append(per_lead)
-                metrics_all.append([
-                    float(psnr_gen), float(psnr_reg), ssim_gen, ssim_reg
-                ])
+                metrics_all.append(np.asarray(met4))
+                if single.shape[0]:
+                    singlelead.append(np.asarray(single))
         result = {
             "losses": np.asarray(losses),
             "metrics": np.asarray(metrics_all) if metrics_all else None,
@@ -349,11 +411,16 @@ class Solver:
                 "psnr_gen": float(psnr_gen), "psnr_reg": float(psnr_reg),
                 "epoch": epoch, "best_test_psnr_gen": best_psnr_gen,
             }
-            ckpt.save(f"epoch_{epoch}", params=params, bn_state=bn_state,
-                      opt_state=opt_state, **extras)
-            if is_best:
-                ckpt.save("best_valid", params=params, bn_state=bn_state,
+            # multi-host: pickle saves are process-0-only (replicated pytrees,
+            # shared-FS pointer files); Orbax saves are COLLECTIVE — every
+            # process must enter save() (orbax coordinates who writes)
+            save_here = getattr(ckpt, "collective", False) or jax.process_index() == 0
+            if save_here:
+                ckpt.save(f"epoch_{epoch}", params=params, bn_state=bn_state,
                           opt_state=opt_state, **extras)
+                if is_best:
+                    ckpt.save("best_valid", params=params, bn_state=bn_state,
+                              opt_state=opt_state, **extras)
         return params, bn_state
 
     # ------------------------------------------------------------------- val
@@ -406,6 +473,34 @@ class Solver:
                     r += 1
             fig.savefig(os.path.join(out_dir, f"{i}.png"), format="png")
             plt.close(fig)
+
+    def paint_for_other_method(self, target, pred, input_data=None, epoch=None,
+                               flag="train"):
+        """Side-by-side target/pred grid (reference solver.py:279-302).
+
+        target/pred: [B, R, 512]. One row per view, target left, pred right.
+        The reference's `paint_for_mit` (solver.py:304-327) is byte-identical
+        to this function, so both names share this implementation.
+        """
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        out_dir = os.path.join(self.output_dir, f"{epoch}_{flag}")
+        os.makedirs(out_dir, exist_ok=True)
+        for i in range(len(target)):
+            rows = target[i].shape[0]
+            fig, axes = plt.subplots(rows, 2, figsize=(32, 3 * rows), squeeze=False)
+            for ind in range(rows):
+                axes[ind][0].plot(target[i][ind])
+                axes[ind][1].plot(pred[i][ind])
+            fig.savefig(os.path.join(out_dir, f"{i}.png"), format="png")
+            plt.close(fig)
+
+    # the reference ships paint_for_mit as an exact copy of
+    # paint_for_other_method — keep the name for API parity
+    paint_for_mit = paint_for_other_method
 
 
 def _full_length_rois(rois):

@@ -74,3 +74,43 @@ def test_ssim_against_torch_reference_values():
     y = 1 - x
     v = ssim_1d(x, y)
     assert -1.0 <= v < 0.5
+
+
+def test_ssim_values_device_matches_scipy_oracle(rng):
+    """On-device masked SSIM (jitted conv formulation) vs the host scipy
+    implementation, per (sample, lead), with per-sample roi ends."""
+    import jax.numpy as jnp
+
+    from electrocardio_panorama_tpu.training.metrics import ssim_masked, ssim_values
+
+    B, L, T = 4, 3, 512
+    t = np.linspace(0, 20, T)
+    pred = (0.3 * np.sin(t)[None, None] + 0.5 + rng.normal(0, 0.05, (B, L, T))).astype(np.float32)
+    gt = (0.3 * np.sin(t)[None, None] + 0.5 + rng.normal(0, 0.05, (B, L, T))).astype(np.float32)
+    rois = np.zeros((B, 7, 2), np.int32)
+    rois[:, -1, 0] = [400, 512, 357, 289]
+    dev = np.asarray(ssim_values(jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(rois)))
+    for i in range(B):
+        end = rois[i, -1, 0]
+        for j in range(L):
+            assert abs(dev[i, j] - ssim_1d(pred[i, j, :end], gt[i, j, :end])) < 5e-5
+    # scalar wrapper == reference SSIM() mean contract
+    host = ssim(pred, gt, rois)
+    assert abs(float(ssim_masked(jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(rois))) - host) < 5e-5
+
+
+def test_psnr_values_per_lead(rng):
+    """psnr_values [B, L] matches the host psnr() on each single-lead slice."""
+    import jax.numpy as jnp
+
+    from electrocardio_panorama_tpu.training.metrics import psnr, psnr_values
+
+    B, L, T = 3, 4, 512
+    pred = rng.uniform(0, 1, (B, L, T)).astype(np.float32)
+    gt = rng.uniform(0, 1, (B, L, T)).astype(np.float32)
+    rois = np.zeros((B, 7, 2), np.int32)
+    rois[:, -1, 0] = [312, 512, 100]
+    vals = np.asarray(psnr_values(jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(rois)))
+    for j in range(L):
+        ref = psnr(pred[:, j : j + 1], gt[:, j : j + 1], rois)
+        assert abs(vals[:, j].mean() - ref) < 1e-4

@@ -255,3 +255,61 @@ def test_one_lead_recipe_trains():
     assert float(loss) < 0.8 * float(loss0), (
         f"1-lead training is stuck: loss {float(loss0):.4f} -> {float(loss):.4f}"
     )
+
+
+def test_grouped_decode_matches_sequential():
+    """The batched three-decode (group-BN, one launch) must reproduce the
+    sequential pred/shuffle_p/shuffle_l decodes (reference
+    model_nefnet.py:167-176) — outputs AND the EMA-chained BN running stats."""
+    import jax
+    import jax.numpy as jnp
+
+    from electrocardio_panorama_tpu.models.nefnet import (
+        _decode, encode_latents, init_nefnet, nefnet_apply, query_gates)
+
+    L, B = 3, 4
+    rng = np.random.default_rng(11)
+    params, state = init_nefnet(jax.random.PRNGKey(3), lead_num=L)
+    # make running stats non-trivial so EMA chaining is actually exercised
+    state = {k: (v + 0.25 if v.dtype != np.int32 else v) for k, v in state.items()}
+    x = jnp.asarray(rng.uniform(0, 1, (B, L, 512)).astype(np.float32))
+    thetas = jnp.asarray(rng.uniform(-np.pi, np.pi, (B, L, 2)).astype(np.float32))
+    q = jnp.asarray(rng.uniform(-np.pi, np.pi, (B, 2)).astype(np.float32))
+    rois = []
+    for _ in range(B):
+        cuts = np.sort(rng.choice(np.arange(8, 504, 4), size=6, replace=False))
+        pts = np.concatenate([[0], cuts, [512]])
+        rois.append(np.stack([pts[:-1], pts[1:]], 1))
+    rois = jnp.asarray(np.stack(rois).astype(np.int64))
+
+    key = jax.random.PRNGKey(9)
+    (out_g, sp_g, sl_g), ns_g = nefnet_apply(
+        params, state, x, thetas, q, rois, lead_num=L, phase="train",
+        rng=key, shuffle_idx=(1, 2),
+    )
+
+    # sequential re-computation with the same dropout keys: replicate the
+    # rng split inside nefnet_apply (enc_rng for the encoder, three decodes
+    # BN-order-sequential)
+    enc_rng, _ = jax.random.split(key)
+    lat = encode_latents(params, x, thetas, rois, lead_num=L, rng=enc_rng, train=True)
+    z1_leads = lat.z1.reshape(B, L, 128, 128)
+    z2_leads = lat.z2.reshape(B, L, 128, 128)
+    sp_all = jnp.concatenate([jnp.take(z1_leads, 1, axis=1), lat.z2_mean], axis=1)
+    sl_all = jnp.concatenate([lat.z1_mean, jnp.take(z2_leads, 2, axis=1)], axis=1)
+    gate_q = query_gates(params, q)
+    ns = dict(state)
+    out_s, u = _decode(params, ns, lat.latent_all, gate_q, train=True)
+    ns.update(u)
+    sp_s, u = _decode(params, ns, sp_all, gate_q, train=True)
+    ns.update(u)
+    sl_s, u = _decode(params, ns, sl_all, gate_q, train=True)
+    ns.update(u)
+
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_s), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(sp_g), np.asarray(sp_s), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(sl_g), np.asarray(sl_s), atol=2e-6)
+    for k in ns:
+        np.testing.assert_allclose(
+            np.asarray(ns_g[k]), np.asarray(ns[k]), rtol=1e-5, atol=1e-6, err_msg=k
+        )

@@ -292,6 +292,44 @@ def test_solver_paint(tmp_path):
     assert os.path.getsize(os.path.join(out_dir, "0.png")) > 1000
 
 
+def test_solver_paint_side_by_side(tmp_path):
+    """paint_for_other_method / paint_for_mit (reference solver.py:279-327 —
+    the two are byte-identical there, so they share one implementation)."""
+    cfg = get_cfg()
+    cfg.desc = "debug"
+    cfg.MODEL.model = "model_nefnet"
+    cfg.DATA.lead_num = 3
+    cfg.output_dir = str(tmp_path)
+    solver = Solver(cfg, use_writer=False)
+    assert Solver.paint_for_mit is Solver.paint_for_other_method
+    rng = np.random.default_rng(0)
+    target = rng.uniform(0, 1, (2, 7, 512))
+    pred = rng.uniform(0, 1, (2, 7, 512))
+    solver.paint_for_other_method(target, pred, epoch=1, flag="test")
+    out_dir = os.path.join(solver.output_dir, "1_test")
+    assert sorted(os.listdir(out_dir)) == ["0.png", "1.png"]
+    assert os.path.getsize(os.path.join(out_dir, "0.png")) > 1000
+
+
+def test_whole_sequence_metric_predicate():
+    """The whole-sequence branch triggers for dataset 'mit', super_mode
+    '_mit', and any super_mode ending in '0' (reference solver.py:200-201)."""
+    from electrocardio_panorama_tpu.training.solver import whole_sequence_metrics
+
+    cfg = get_cfg()
+    cfg.DATA.dataset = "tianchi"
+    cfg.DATA.super_mode = "IIv2v5_v4I_372"
+    assert not whole_sequence_metrics(cfg)
+    cfg.DATA.super_mode = "_1110"
+    assert whole_sequence_metrics(cfg)
+    cfg.DATA.super_mode = "_mit"
+    assert whole_sequence_metrics(cfg)
+    cfg.DATA.super_mode = "normal"
+    assert not whole_sequence_metrics(cfg)
+    cfg.DATA.dataset = "mit"
+    assert whole_sequence_metrics(cfg)
+
+
 def test_eval_whole_sequence_metric_branch(tmp_path):
     """super_mode ending in '0' (e.g. _1110) has no unseen leads: psnr_gen ==
     psnr_reg, computed over the WHOLE sequence without rois (reference
@@ -376,3 +414,26 @@ def test_mixed_precision_train_step(cfg, tmp_path):
     d32 = np.concatenate([np.ravel(v) for _, v in sorted(p32.items())])
     d16 = np.concatenate([np.ravel(v) for _, v in sorted(p16.items())])
     assert np.corrcoef(d32, d16)[0, 1] > 0.999
+
+
+def test_eval_step_fused_decoder_matches_xla(cfg):
+    """TPU.eval_decoder='fused' rides the Pallas kernel (interpret mode on
+    CPU) for the rest-view sweep; metrics must match the XLA decoder path."""
+    import copy
+
+    ds = build_dataset(cfg, "test")
+    dl = list(BeatLoader(ds, 4, shuffle=False, drop_last=True, seed=3))[:1]
+
+    cfg_x = copy.deepcopy(cfg)
+    cfg_x.TPU.eval_decoder = "xla"
+    cfg_f = copy.deepcopy(cfg)
+    cfg_f.TPU.eval_decoder = "fused"
+    sx = Solver(cfg_x, use_writer=False)
+    sf = Solver(cfg_f, use_writer=False)
+    params, bn = sx.model.init(jax.random.PRNGKey(0))
+
+    tx = sx.run_one_epoch(dl, "test", epoch=0, params=params, bn_state=bn)
+    tf = sf.run_one_epoch(dl, "test", epoch=0, params=params, bn_state=bn)
+    np.testing.assert_allclose(tx["metrics"], tf["metrics"], atol=1e-3)
+    np.testing.assert_allclose(tx["losses"], tf["losses"], atol=1e-3)
+    np.testing.assert_allclose(tx["singlelead"], tf["singlelead"], atol=1e-3)

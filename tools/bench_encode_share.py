@@ -89,7 +89,9 @@ def main():
             ).latent_all.astype(jnp.bfloat16)
 
             def body(c, v):
-                g = query_gates(params, v).astype(jnp.bfloat16)
+                # use the jitted argument p (NOT the outer f32 params): the
+                # closure would bake f32 gates into the "bf16 encode" timing
+                g = query_gates(p, v).astype(jnp.bfloat16)
                 out = fused_decode_views(f, lat, g, v_tile=16)
                 return c + out.sum(), None
 
