@@ -6,9 +6,11 @@ then decode dense viewpoint sweeps — views/sec/chip end-to-end on device.
 Measurement notes:
   * The axon tunnel's block_until_ready does not wait for remote execution, so
     timing forces a true data dependency (a scalar pulled to host).
-  * EVERY path chains K=8 launches per timing sample (lax.scan over view
-    stacks), so the ~35 ms tunnel round-trip is amortized below 5% of a
-    sample instead of being subtracted from it; per-path std is reported.
+  * EVERY path chains launches per timing sample (lax.scan over view stacks)
+    so the ~25-35 ms tunnel round-trip amortizes below ~5% of the sample:
+    decode chains run 130+ ms at K=8; the millisecond-scale train/p50
+    metrics chain K=256 and encode K=64 (at K=8 the RTT/K term was ~half of
+    the r02 train numbers — r03 corrects that). Per-path std is reported.
   * Decode paths measured (best reported):
       - fused Pallas decoder, f32 (FULL fidelity, BN folded, whole chain in
         VMEM; ops/pallas/decoder_fused.py);
@@ -243,11 +245,26 @@ def main():
     from electrocardio_panorama_tpu.training.precision import (
         cast_floats, cast_floats_f32)
 
-    def make_train_chain(compute_dtype):
+    K_TRAIN = 256  # train steps are ~1-3 ms: the RTT/K term must stay <5%
+    # of the signal (the r02 train metrics chained K=8 and carried ~3 ms of
+    # tunnel RTT each; decode chains at K=8 run 130+ ms per call, where RTT
+    # is already <3%)
+
+    def make_train_chain(compute_dtype, train_decoder="xla"):
         # the Solver's mixed-precision policy (training/precision.py):
-        # master params f32, forward/backward in compute_dtype, f32 loss
+        # master params f32, forward/backward in compute_dtype, f32 loss.
+        # train_decoder='fused' rides the Pallas training decoder
+        # (forward + custom-VJP backward, ops/pallas/decoder_train.py).
         mixed = compute_dtype != jnp.float32
         castc = lambda t: cast_floats(t, compute_dtype)
+        if train_decoder == "fused":
+            from electrocardio_panorama_tpu.ops.pallas.decoder_train import (
+                make_train_decode_fn,
+            )
+
+            tdf = make_train_decode_fn(compute_dtype=compute_dtype)
+        else:
+            tdf = None
 
         @jax.jit
         def train_chain(p, bn, opt, rng_key, data, input_theta, target_theta,
@@ -263,7 +280,7 @@ def main():
                     (out, sp, sl), new_bn = model.apply(
                         pp, bn, d, it, tt, rois,
                         phase="train", rng=jax.random.fold_in(rng_key, k),
-                        shuffle_idx=(0, 1),
+                        shuffle_idx=(0, 1), train_decode_fn=tdf,
                     )
                     if mixed:
                         out, sp, sl = cast_floats_f32((out, sp, sl))
@@ -275,7 +292,7 @@ def main():
                 updates, new_opt = tx.update(grads, opt, p)
                 return (optax.apply_updates(p, updates), new_bn, new_opt), loss
 
-            (_, _, _), losses = jax.lax.scan(one_step, (p, bn, opt), jnp.arange(K))
+            (_, _, _), losses = jax.lax.scan(one_step, (p, bn, opt), jnp.arange(K_TRAIN))
             return losses.sum()
 
         return train_chain
@@ -287,13 +304,19 @@ def main():
         jnp.asarray(batch["target_view"]),
     )
     train_med, train_std = _time(make_train_chain(jnp.float32), targs, 5)
-    train_step_ms = 1e3 * train_med / K
+    train_step_ms = 1e3 * train_med / K_TRAIN
     train_med16, _ = _time(make_train_chain(jnp.bfloat16), targs, 5)
-    train_step_ms_bf16 = 1e3 * train_med16 / K
+    train_step_ms_bf16 = 1e3 * train_med16 / K_TRAIN
+    try:
+        train_medf, _ = _time(make_train_chain(jnp.bfloat16, "fused"), targs, 5)
+        train_step_ms_bf16_fused = round(1e3 * train_medf / K_TRAIN, 3)
+    except Exception as e:  # noqa: BLE001 — report the fallback instead
+        train_step_ms_bf16_fused = f"error: {str(e)[:80]}"
 
     # p50 latency: single-beat 24-view panorama, RTT amortized over K chains
     b1 = _synth_batch(rng, B=1)
-    v24 = jnp.asarray(rng.uniform(-np.pi, np.pi, (K, 1, 24, 2)), dtype)
+    K_LAT = 256
+    v24 = jnp.asarray(rng.uniform(-np.pi, np.pi, (K_LAT, 1, 24, 2)), dtype)
     args1 = (
         params_c, bn_c, jnp.asarray(b1["data"], dtype),
         jnp.asarray(b1["input_theta"], dtype), jnp.asarray(b1["rois"]), v24,
@@ -303,7 +326,7 @@ def main():
     for _ in range(20):
         t0 = time.perf_counter()
         float(chain(*args1))
-        lats.append((time.perf_counter() - t0) / K)
+        lats.append((time.perf_counter() - t0) / K_LAT)
     p50_ms = float(np.percentile(lats, 50) * 1e3)
 
     candidates = {k: v for k, v in results.items() if not k.endswith("_error")}
@@ -325,6 +348,7 @@ def main():
         "encode_ms_per_launch_batch32": round(encode_ms, 3),
         "train_step_ms_batch32": round(train_step_ms, 3),
         "train_step_ms_batch32_bf16": round(train_step_ms_bf16, 3),
+        "train_step_ms_batch32_bf16_fused_decoder": train_step_ms_bf16_fused,
         "train_step_std_pct": round(train_std, 1),
         "p50_latency_ms_24view_panorama_amortized": round(p50_ms, 3),
         "tunnel_rtt_ms": round(rtt * 1e3, 1),

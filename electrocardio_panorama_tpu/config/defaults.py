@@ -81,4 +81,8 @@ def get_default_cfg() -> Node:
     # and the XLA decoder elsewhere; force "xla" | "fused" (f32, full
     # fidelity) | "fused_bf16" (throughput; corr > 0.999 vs f32)
     cfg.TPU.eval_decoder = "auto"
+    # train-step decoder: "xla" (grouped three-decode) | "fused" (Pallas
+    # forward + custom-VJP backward, ops/pallas/decoder_train.py; gradient
+    # parity pinned by tests/test_pallas_train_decoder.py)
+    cfg.TPU.train_decoder = "xla"
     return cfg

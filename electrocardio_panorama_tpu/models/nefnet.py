@@ -237,6 +237,7 @@ def nefnet_apply(
     shuffle_idx=None,
     bn_axis: str | None = None,
     rest_decode_fn=None,
+    train_decode_fn=None,
 ):
     """Full forward, reference-parity (model_nefnet.py:109-194).
 
@@ -249,6 +250,12 @@ def nefnet_apply(
     `rest_decode_fn(latent_all, rest_theta) -> [B, R, 512]`, when given,
     replaces the XLA `decode_views` for the rest-view sweep — the Solver
     injects the fused Pallas decoder here (training/solver.py).
+
+    `train_decode_fn(p, s, stacked) -> (outs [3, B, 1, 512] post-sigmoid,
+    state_updates)`, when given, replaces the XLA grouped three-decode in the
+    train branch — the Solver injects the fused Pallas TRAINING decoder
+    (forward + custom VJP, ops/pallas/decoder_train.py) here. `stacked` is
+    the group-major [3B, 256, 128] gated latent.
     """
     train = phase == "train"
     if phase == "gen":
@@ -301,10 +308,13 @@ def nefnet_apply(
             [gx * lat.latent_all, gx * shuffle_patient_all, gx * shuffle_lead_all],
             axis=0,
         )  # [3B, 256, 128] group-major
-        outs, u = decoder_apply(p, s, stacked, train=True, bn_axis=bn_axis, bn_groups=3)
+        if train_decode_fn is not None:
+            outs, u = train_decode_fn(p, s, stacked)
+        else:
+            o, u = decoder_apply(p, s, stacked, train=True, bn_axis=bn_axis, bn_groups=3)
+            outs = jax.nn.sigmoid(o / 3.0).reshape(3, B, 1, SEQ_LEN)
         new_s = dict(s)
         new_s.update(u)
-        outs = jax.nn.sigmoid(outs / 3.0).reshape(3, B, 1, SEQ_LEN)
         return (outs[0], outs[1], outs[2]), new_s
 
     # eval: BN running stats -> all decodes batch into one launch.

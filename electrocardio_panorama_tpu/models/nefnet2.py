@@ -125,7 +125,7 @@ def encode_latents2(p, x, input_thetas, rois, *, lead_num: int,
 def nefnet2_apply(p, s, x, input_thetas, query_theta, rois, rest_theta=None, *,
                   lead_num: int, theta_encoder_len: int = 1, phase: str = "train",
                   rng=None, shuffle_idx=None, bn_axis: str | None = None,
-                  rest_decode_fn=None):
+                  rest_decode_fn=None, train_decode_fn=None):
     train = phase == "train"
     if phase not in ("train", "val", "test", "gen"):
         raise KeyError("please type correct phase")
@@ -158,14 +158,23 @@ def nefnet2_apply(p, s, x, input_thetas, query_theta, rois, rest_theta=None, *,
     gate_q = query_gates(p, query_theta, theta_encoder_len=theta_encoder_len)
 
     if train:
+        # same grouped three-decode restructuring as Nef-Net (shared decoder
+        # params; see models/nefnet.py train branch)
+        from electrocardio_panorama_tpu.models.nefnet import decoder_apply
+
+        B = x.shape[0]
+        gx = gate_q[:, :, None]
+        stacked = jnp.concatenate(
+            [gx * latent_all, gx * shuffle_patient_all, gx * shuffle_lead_all], axis=0
+        )
+        if train_decode_fn is not None:
+            outs, u = train_decode_fn(p, s, stacked)
+        else:
+            o, u = decoder_apply(p, s, stacked, train=True, bn_axis=bn_axis, bn_groups=3)
+            outs = jax.nn.sigmoid(o / 3.0).reshape(3, B, 1, o.shape[-1])
         new_s = dict(s)
-        out, u = _decode(p, new_s, latent_all, gate_q, train=True, bn_axis=bn_axis)
         new_s.update(u)
-        sp, u = _decode(p, new_s, shuffle_patient_all, gate_q, train=True, bn_axis=bn_axis)
-        new_s.update(u)
-        sl, u = _decode(p, new_s, shuffle_lead_all, gate_q, train=True, bn_axis=bn_axis)
-        new_s.update(u)
-        return (out, sp, sl), new_s
+        return (outs[0], outs[1], outs[2]), new_s
 
     out, _ = _decode(p, s, latent_all, gate_q, train=False)
     sp, _ = _decode(p, s, shuffle_patient_all, gate_q, train=False)

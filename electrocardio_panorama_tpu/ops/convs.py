@@ -54,6 +54,46 @@ def conv1d(
     return out
 
 
+def conv1d_mm(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    *,
+    padding: int,
+    groups: int = 1,
+) -> jnp.ndarray:
+    """Stride-1 'same'-pad grouped conv1d as ONE batched matmul over stacked
+    taps (im2col on the kernel axis only): dot_general with batch dim =
+    groups, contraction = (C_in/g x K) over K time-shifted copies. Shifts
+    ride the T axis of [B, C, T], so sample boundaries need no masks (torch
+    zero padding == the jnp.pad zeros).
+
+    MEASUREMENT OUTCOME (tools/bench_conv_forms.py, v5e): this form ties
+    lax.conv_general_dilated on every encoder conv shape — an apparent 15x
+    conv inefficiency in an earlier profile was tunnel-RTT contamination of
+    short timing chains, not XLA. Kept as the measured-equal alternative and
+    the record of that finding; the model keeps conv1d.
+
+    torch.nn.functional.conv1d parity for stride=1, padding=K//2.
+    x: [B, C_in, L], weight: [C_out, C_in/groups, K].
+    """
+    B, C_in, L = x.shape
+    C_out, cpg, K = weight.shape
+    assert K == 2 * padding + 1, "conv1d_mm is specialized for same-pad stride-1"
+    g = groups
+    xs = [
+        jnp.pad(x, ((0, 0), (0, 0), (padding, padding)))[:, :, k : k + L]
+        for k in range(K)
+    ]
+    xk = jnp.stack(xs, axis=0).reshape(K, B, g, cpg, L)
+    w4 = weight.reshape(g, C_out // g, cpg, K)
+    out = jnp.einsum("kbgcl,gock->bgol", xk, w4, precision=_precision(x))
+    out = out.reshape(B, C_out, L)
+    if bias is not None:
+        out = out + bias[None, :, None]
+    return out
+
+
 def conv_transpose1d_k2s2(
     x: jnp.ndarray,
     weight: jnp.ndarray,

@@ -285,16 +285,23 @@ def _decoder_kernel(latent_ref, gates_ref, u1_ref, u2_ref, e_ref, t_ref,
     gates = gates_ref[0]            # [VT, 256]  f32
 
     # gate x latent -> [256, VT*128] (channel-major, views side by side),
-    # built with two selector matmuls instead of a 3-D broadcast multiply +
-    # reshape: the [256, VT, 128] -> [256, VT*128] merge relayouts sublanes
-    # into lanes (measured ~2 ms/launch) and the 3-D broadcast is also the
-    # one pattern the Mosaic bf16 lowering rejects. E [VT, VT*128] replicates
-    # each view's gate across its 128 lanes; T [128, VT*128] tiles the latent
-    # across views. Both are 0/1 selectors, so the matmuls are exact in f32.
-    gate_dot = _dot_f32 if storage_dtype == jnp.float32 else _dot_fast
-    g_exp = gate_dot(gates.T, e_ref[:])               # [256, VT*128]
-    lat_t = gate_dot(latent, t_ref[:])                # [256, VT*128]
-    h = (g_exp * lat_t).astype(storage_dtype)
+    # built WITHOUT the 3-D broadcast multiply + reshape: the [256, VT, 128]
+    # -> [256, VT*128] merge relayouts sublanes into lanes (measured
+    # ~2 ms/launch) and the 3-D broadcast is also the one pattern the Mosaic
+    # bf16 lowering rejects. E [VT, VT*128] replicates each view's gate
+    # across its 128 lanes (a 0/1 selector matmul). The latent tiled across
+    # views is a PURE concat-repeat, so the bf16 pipeline uses pltpu.repeat
+    # (no T-matmul, bf16 multiply; callers already quantize latent/gates to
+    # bf16, so the product rounds identically — measured +3% end to end);
+    # the f32 pipeline keeps both exact f32 selector matmuls.
+    if storage_dtype == jnp.float32:
+        g_exp = _dot_f32(gates.T, e_ref[:])           # [256, VT*128]
+        lat_t = _dot_f32(latent, t_ref[:])            # [256, VT*128]
+        h = (g_exp * lat_t).astype(storage_dtype)
+    else:
+        g_exp = _dot_fast(gates.T, e_ref[:]).astype(storage_dtype)
+        lat_t = pltpu.repeat(latent.astype(storage_dtype), vt, axis=1)
+        h = g_exp * lat_t
 
     h = _upconv3(h, w1[:], b1[:], u1_ref[:], vt, FEAT, True)      # [128, VT*256]
     h = _conv3(h, w2[:], b2[:], vt, 2 * FEAT, True)               # [128, VT*256]

@@ -39,11 +39,28 @@ def build_dp_train_step(model_def, cfg, tx, mesh: Mesh, axis: str = "data",
     Honors ``cfg.TPU.compute_dtype='bfloat16'`` with the same mixed-precision
     policy as Solver._build_train_step: f32 master params/opt/BN running
     stats, bf16 forward/backward, f32 loss and f32 grad pmean.
+
+    Honors ``cfg.TPU.train_decoder='fused'`` (the Pallas training decoder,
+    ops/pallas/decoder_train.py) with one documented semantic difference: the
+    kernel computes BN batch statistics per shard (the reference
+    DataParallel's actual behavior — each replica normalizes its own
+    sub-batch) instead of the XLA path's psum-synced full-batch statistics,
+    so dp-fused matches single-device-fused only at mesh size 1.
     """
     use_noise = bool(cfg.DATA.noise)
     compute_dtype = jnp.dtype(cfg.TPU.compute_dtype)
     mixed = compute_dtype != jnp.float32
     _cast = lambda t: cast_floats(t, compute_dtype)  # noqa: E731
+    if getattr(cfg.TPU, "train_decoder", "xla") == "fused":
+        from electrocardio_panorama_tpu.ops.pallas.decoder_train import (
+            make_train_decode_fn)
+
+        tdf = make_train_decode_fn(
+            compute_dtype=compute_dtype,
+            interpret=jax.devices()[0].platform == "cpu",
+        )
+    else:
+        tdf = None
 
     def local_step(params, bn_state, opt_state, rng, i1, i2,
                    data, input_theta, target_theta, rois, target_view, noise):
@@ -60,6 +77,7 @@ def build_dp_train_step(model_def, cfg, tx, mesh: Mesh, axis: str = "data",
             (out, sp, sl), new_bn = model_def.apply(
                 p, bn_state, d, it, tt, rois,
                 phase="train", rng=rng, shuffle_idx=(i1, i2), bn_axis=axis,
+                train_decode_fn=tdf,
             )
             if mixed:
                 out, sp, sl = cast_floats_f32((out, sp, sl))

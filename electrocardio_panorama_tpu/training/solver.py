@@ -155,6 +155,21 @@ class Solver:
         compute_dtype = jnp.dtype(cfg.TPU.compute_dtype)
         mixed = compute_dtype != jnp.float32
         _cast = lambda t: cast_floats(t, compute_dtype)  # noqa: E731
+        train_dec = getattr(cfg.TPU, "train_decoder", "xla")
+        if train_dec == "fused":
+            from electrocardio_panorama_tpu.ops.pallas.decoder_train import (
+                make_train_decode_fn)
+
+            tdf = make_train_decode_fn(
+                compute_dtype=compute_dtype,
+                interpret=jax.devices()[0].platform == "cpu",
+            )
+        elif train_dec == "xla":
+            tdf = None
+        else:
+            raise ValueError(
+                f"unknown TPU.train_decoder {train_dec!r} (use 'xla' or 'fused')"
+            )
 
         @partial(jax.jit, donate_argnums=(0, 1, 2))
         def step(params, bn_state, opt_state, rng, i1, i2,
@@ -168,6 +183,7 @@ class Solver:
                 (out, sp, sl), new_bn = model.apply(
                     p, bn_state, data_c, it_c, tt_c, rois,
                     phase="train", rng=rng, shuffle_idx=(i1, i2),
+                    train_decode_fn=tdf,
                 )
                 if mixed:
                     out, sp, sl = cast_floats_f32((out, sp, sl))

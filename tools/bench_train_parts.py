@@ -54,7 +54,7 @@ def main(mode="bf16"):
     tx = get_optimizer(cfg)
     opt_state = tx.init(params)
 
-    B, K = 32, 8
+    B, K = 32, 64
     rng = np.random.default_rng(0)
     batch = _synth_batch(rng, B=B)
     cdtype = jnp.bfloat16 if mode == "bf16" else jnp.float32
