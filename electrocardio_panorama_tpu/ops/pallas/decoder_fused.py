@@ -143,7 +143,11 @@ def vmem_bytes_estimate(v_tile: int, storage_dtype) -> int:
     below model the PRE-upconv-fusion formulation, which strictly upper-
     bounds the fused chain's working set (the upconv stages hold one
     [Cout, VT*n] f32 intermediate instead of three shifted operands), so
-    the estimate stays conservative.
+    the estimate stays conservative. It also upper-bounds the layout-B
+    (view,channel)-row bf16 kernel: its batched [VT, C, t] stages carry the
+    same element counts with smaller peak operands, and the resident
+    conv5 selectors [3, VT, VT*64] are smaller than the E/T gate selectors
+    modeled in the weights term.
     """
     s = jnp.dtype(storage_dtype).itemsize
     consts = (256 * FEAT + v_tile * 256 + v_tile * SEQ) * s
@@ -315,6 +319,104 @@ def _decoder_kernel(latent_ref, gates_ref, u1_ref, u2_ref, e_ref, t_ref,
     out_ref[0] = out.reshape(vt, SEQ).astype(out_ref.dtype)
 
 
+# ----------------------------------------------- layout-B kernel (bf16 path)
+# Activations live row-major (view, channel) as 2-D [VT*C, t]:
+#   * gate stage = sublane-repeat of the latent x a pre-reshaped [VT*256, 1]
+#     gate column (prepared in XLA) — no selector matmuls;
+#   * channel mixes + upsample are BATCHED dot_generals over the view dim
+#     ([VT*C, t] <-> [VT, C, t] views are free) — no sublane relayouts;
+#   * lane shifts need no boundary masks (each row is one view's channel);
+#   * conv5 (Cout=1) = three weighted row-selector matmuls (weights baked in
+#     outside) + post-shifts.
+# Measured bitwise-identical to the layout-A bf16 chain and ~3% faster
+# (tools/bench_kernel_layoutB.py; docs/KERNELS.md). Mosaic discipline: this
+# toolchain's compile helper crashes on 3-D broadcasts, multi-axis
+# reductions, M=1 batched dots, and in-kernel 1-D vector reshapes — all
+# elementwise work here stays 2-D, bias columns come from sublane-repeat,
+# and conv5's weights/bias arrive pre-shaped. The f32 pipeline keeps the
+# layout-A kernel (exact-precision path, no need to re-audit it against the
+# crash list).
+
+
+def _bdot_vc(a3, b3):
+    """Batched [VT, M, K] @ [VT, K, N] -> [VT, M, N], f32 accumulation."""
+    return jax.lax.dot_general(
+        a3, b3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _shift2_vc(h2, k: int):
+    if k == 1:
+        return h2
+    z = jnp.zeros((h2.shape[0], 1), h2.dtype)
+    if k == 0:
+        return jnp.concatenate([z, h2[:, :-1]], axis=1)
+    return jnp.concatenate([h2[:, 1:], z], axis=1)
+
+
+def conv5_selectors(v_tile: int, w5, dtype):
+    """[3, VT, VT*64] weighted row-selectors: selw_k[v, v*64+c] = w5[k, 0, c]."""
+    import numpy as np
+
+    sel = (np.arange(v_tile * 64) // 64 == np.arange(v_tile)[:, None])
+    sel = jnp.asarray(sel.astype(np.float32))
+    w5t = jnp.tile(w5[:, 0, :].astype(jnp.float32), (1, v_tile))  # [3, VT*64]
+    return (sel[None] * w5t[:, None, :]).astype(dtype)
+
+
+def _decoder_kernel_vc(latent_ref, gcol_ref, selw_ref, u1_ref, u2_ref,
+                       w1, b1, w2, b2, w3, b3, w4, b4, b5_2d,
+                       out_ref, *, vt: int, storage_dtype):
+    def brep(vec):
+        return pltpu.repeat(vec.reshape(-1, 1), vt, axis=0)  # [VT*C, 1] f32
+
+    def upconv(h2, w_taps, b, u3, cin, n_in):
+        cout = w_taps.shape[1]
+        h3 = h2.reshape(vt, cin, n_in)
+        acc = None
+        for k in range(3):
+            g = _bdot_vc(jnp.broadcast_to(w_taps[k][None], (vt, cout, cin)), h3)
+            y = _bdot_vc(g.astype(h2.dtype),
+                         jnp.broadcast_to(u3[k][None], (vt, n_in, 2 * n_in)))
+            acc = y if acc is None else acc + y
+        acc2 = acc.reshape(vt * cout, 2 * n_in) + brep(b)
+        return jnp.maximum(acc2, 0.0).astype(h2.dtype)
+
+    def conv(h2, w_taps, b, cin, t, relu, carry_f32=False):
+        cout = w_taps.shape[1]
+        acc = None
+        for k in range(3):
+            s3 = _shift2_vc(h2, k).astype(w_taps.dtype).reshape(vt, cin, t)
+            y = _bdot_vc(jnp.broadcast_to(w_taps[k][None], (vt, cout, cin)), s3)
+            acc = y if acc is None else acc + y
+        acc2 = acc.reshape(vt * cout, t) + brep(b)
+        if relu:
+            acc2 = jnp.maximum(acc2, 0.0)
+        return acc2 if carry_f32 else acc2.astype(h2.dtype)
+
+    lat_rep = pltpu.repeat(latent_ref[0].astype(storage_dtype), vt, axis=0)
+    h = lat_rep * gcol_ref[0, 0].astype(storage_dtype)          # [VT*256, 128]
+    h = upconv(h, w1[:], b1[:], u1_ref[:], 256, FEAT)           # [VT*128, 256]
+    h = conv(h, w2[:], b2[:], 128, 2 * FEAT, True)              # [VT*128, 256]
+    h = upconv(h, w3[:], b3[:], u2_ref[:], 128, 2 * FEAT)       # [VT*64, 512]
+    h = conv(h, w4[:], b4[:], 64, SEQ, True, carry_f32=True)    # [VT*64, 512] f32
+    # conv5: weighted selectors + post-shifts (f32-carried tail)
+    gs = [
+        jax.lax.dot_general(
+            selw_ref[k], h.astype(storage_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for k in range(3)
+    ]
+    z = jnp.zeros((vt, 1), jnp.float32)
+    left = jnp.concatenate([z, gs[0][:, :-1]], axis=1)
+    right = jnp.concatenate([gs[2][:, 1:], z], axis=1)
+    out = jax.nn.sigmoid((left + gs[1] + right + b5_2d[:]) / 3.0)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("v_tile", "interpret"))
 def fused_decode_views(folded: dict, latent_all, gates, *, v_tile: int = 16,
                        interpret: bool = False):
@@ -340,6 +442,38 @@ def fused_decode_views(folded: dict, latent_all, gates, *, v_tile: int = 16,
         )
     Vp = V + pad
     n_vt = Vp // v_tile
+
+    if dtype != jnp.float32:
+        # bf16 pipeline: layout-B (view, channel)-row kernel
+        gcol = gates.reshape(B, n_vt, v_tile * 256, 1)
+        selw = conv5_selectors(v_tile, folded["w5"], dtype)
+        kernel = functools.partial(_decoder_kernel_vc, vt=v_tile, storage_dtype=dtype)
+        weight_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12
+        out = pl.pallas_call(
+            kernel,
+            grid=(B, n_vt),
+            in_specs=[
+                pl.BlockSpec((1, 256, FEAT), lambda b, v: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, v_tile * 256, 1), lambda b, v: (b, v, 0, 0),
+                             memory_space=pltpu.VMEM),
+                *weight_specs,
+            ],
+            out_specs=pl.BlockSpec((1, v_tile, SEQ), lambda b, v: (b, v, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, Vp, SEQ), jnp.float32),
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=VMEM_LIMIT_BYTES,
+            ),
+        )(
+            latent_all, gcol, selw,
+            upsample_shift_matrices(FEAT, dtype),
+            upsample_shift_matrices(2 * FEAT, dtype),
+            folded["w1"], folded["b1"], folded["w2"], folded["b2"],
+            folded["w3"], folded["b3"], folded["w4"], folded["b4"],
+            folded["b5"].reshape(1, 1),
+        )
+        return out[:, :V] if pad else out
 
     weight_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 14
     kernel = functools.partial(_decoder_kernel, vt=v_tile, storage_dtype=dtype)
