@@ -297,8 +297,10 @@ def main():
 
         return train_chain
 
+    # rbg key = the Solver's shipped TPU.rng_impl default (hardware-RNG
+    # dropout masks; threefry costs ~0.5 ms more per step at this recipe)
     targs = (
-        params, bn_state, opt_state, jax.random.PRNGKey(0),
+        params, bn_state, opt_state, jax.random.key(0, impl="rbg"),
         jnp.asarray(batch["data"]), jnp.asarray(batch["input_theta"]),
         jnp.asarray(batch["target_theta"]), jnp.asarray(batch["rois"]),
         jnp.asarray(batch["target_view"]),

@@ -10,7 +10,12 @@ from electrocardio_panorama_tpu.ops.convs import (
     max_pool1d,
 )
 from electrocardio_panorama_tpu.ops.resample import interp_linear_coords, upsample_linear_x2
-from electrocardio_panorama_tpu.ops.roi import roi_align_1d, roi_pool_1d, roi_reverse_1d
+from electrocardio_panorama_tpu.ops.roi import (
+    roi_align_1d,
+    roi_pool_1d,
+    roi_reverse_1d,
+    roi_reverse_1d_gather,
+)
 from electrocardio_panorama_tpu.ops.theta import angular_encode, theta_feature_dim
 
 __all__ = [
@@ -27,5 +32,6 @@ __all__ = [
     "interp_linear_coords",
     "roi_align_1d",
     "roi_reverse_1d",
+    "roi_reverse_1d_gather",
     "roi_pool_1d",
 ]

@@ -348,11 +348,29 @@ class Solver:
         }
         return result
 
+    # ------------------------------------------------------------------- rng
+    def _train_rng(self):
+        """Root key for the training stream (dropout masks, standin shuffles)
+        per cfg.TPU.rng_impl. 'rbg' rides the TPU hardware RNG (3.7x faster
+        per dropout mask than threefry); 'threefry2x32' reproduces the
+        counter-PRNG stream whose draws are topology-invariant by
+        construction. Init draws are impl-independent (threefry always)."""
+        impl = getattr(self.cfg.TPU, "rng_impl", "threefry2x32")
+        root = jax.random.PRNGKey(self.cfg.seed)
+        if impl in ("threefry", "threefry2x32"):
+            return jax.random.split(root)[1]  # historical stream position
+        if impl not in ("rbg", "unsafe_rbg"):
+            raise ValueError(
+                f"unknown TPU.rng_impl {impl!r} (use 'threefry2x32', 'rbg', "
+                "or 'unsafe_rbg')"
+            )
+        return jax.random.key(self.cfg.seed, impl=impl)
+
     # ----------------------------------------------------------------- train
     def train(self, dl_train, dl_test):
         cfg = self.cfg
-        rng = jax.random.PRNGKey(cfg.seed)
-        init_rng, rng = jax.random.split(rng)
+        init_rng = jax.random.split(jax.random.PRNGKey(cfg.seed))[0]
+        rng = self._train_rng()
         params, bn_state = self.model.init(init_rng)
         opt_state = self.tx.init(params)
 

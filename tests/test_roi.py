@@ -11,7 +11,12 @@ import torch
 import torch.nn.functional as F
 import jax.numpy as jnp
 
-from electrocardio_panorama_tpu.ops import roi_align_1d, roi_pool_1d, roi_reverse_1d
+from electrocardio_panorama_tpu.ops import (
+    roi_align_1d,
+    roi_pool_1d,
+    roi_reverse_1d,
+    roi_reverse_1d_gather,
+)
 
 
 def make_rois(rng, batch, n_seg=7, total=512):
@@ -92,6 +97,24 @@ def test_roi_reverse_zero_length_segment(rng):
     ref = torch_roi_reverse(x, rois, 128 / 512)
     ours = roi_reverse_1d(jnp.asarray(x), jnp.asarray(rois), spatial_scale=128 / 512, out_len=128)
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5)
+
+
+def test_roi_reverse_matmul_matches_gather(rng):
+    """The default matmul form and the gather oracle must agree in values AND
+    gradients (the matmul's transpose is its backward; the gather's backward
+    is a scatter-add — same linear map, different execution)."""
+    import jax
+
+    x = jnp.asarray(rng.standard_normal((4, 16, 7, 32)).astype(np.float32))
+    rois = jnp.asarray(make_rois(rng, 4))
+    a = roi_reverse_1d(x, rois)
+    b = roi_reverse_1d_gather(x, rois)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    ct = jnp.asarray(rng.standard_normal(a.shape).astype(np.float32))
+    ga = jax.grad(lambda v: (roi_reverse_1d(v, rois) * ct).sum())(x)
+    gb = jax.grad(lambda v: (roi_reverse_1d_gather(v, rois) * ct).sum())(x)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-5)
 
 
 def test_roi_pool_parity(rng):

@@ -82,6 +82,38 @@ def test_train_two_epochs_and_resume(cfg):
     assert np.isfinite(m["psnr_gen"]) and np.isfinite(m["ssim_gen"])
 
 
+@pytest.mark.parametrize("impl", ["threefry2x32", "rbg"])
+def test_rng_impl_train_determinism(cfg, tmp_path, impl):
+    """Both TPU.rng_impl choices train to finite params, deterministically
+    per seed (two identical runs produce identical parameters)."""
+    train_ds = build_dataset(cfg, "train")
+    test_ds = build_dataset(cfg, "test")
+
+    def run(tag):
+        c = cfg.clone()
+        c.desc = f"rng_{impl}_{tag}"
+        c.output_dir = str(tmp_path / tag)
+        c.SOLVER.epochs = 1
+        c.TPU.rng_impl = impl
+        dl_tr = BeatLoader(train_ds, c.DATA.batch_size, shuffle=True, drop_last=True, seed=1)
+        dl_te = BeatLoader(test_ds, c.DATA.batch_size, shuffle=False, drop_last=True, seed=2)
+        return Solver(c, use_writer=False).train(dl_tr, dl_te)[0]
+
+    p1, p2 = run("a"), run("b")
+    for k in p1:
+        v = np.asarray(p1[k])
+        assert np.isfinite(v).all(), k
+        np.testing.assert_array_equal(v, np.asarray(p2[k]), err_msg=k)
+
+
+def test_rng_impl_unknown_raises(cfg, tmp_path):
+    c = cfg.clone()
+    c.output_dir = str(tmp_path)
+    c.TPU.rng_impl = "philox"
+    with pytest.raises(ValueError, match="rng_impl"):
+        Solver(c, use_writer=False)._train_rng()
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax.numpy as jnp
 
