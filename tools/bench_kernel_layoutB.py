@@ -128,16 +128,77 @@ def main(stop="conv5"):
         right = jnp.concatenate([gs[2][:, 1:], z], axis=1)
         return left + gs[1] + right + b2d
 
-    def kernel(latent_ref, gcol_ref, sel_ref, u1_ref, u2_ref,
-               w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, out_ref):
-        lat = latent_ref[0].astype(dtype)                      # [256, 128]
-        lat_rep = pltpu.repeat(lat, vt, axis=0)                # [vt*256, 128]
-        g_col = gcol_ref[0, 0].astype(dtype)                   # [vt*256, 1]
-        h = lat_rep * g_col                                    # [vt*256, 128]
+    # GATE=selmm: replace the sublane-repeat latent tile with one weighted
+    # 0/1 row-selector matmul Srep [vt*256, 256], Srep[v*256+c, c] = 1 —
+    # the tiled latent rides the MXU instead of a 16-copy sublane repeat
+    gate_mode = os.environ.get("GATE", "repeat")
+    srep_np = (np.arange(vt * 256)[:, None] % 256 == np.arange(256)[None, :])
+    srep = jnp.asarray(srep_np.astype(np.float32)).astype(dtype)
 
+    # GATE=packmm: the [vt*256, 1] gate column block is ONE LANE wide — its
+    # VMEM image is 128x inflated and its DMA costs ~3.9 ms/launch (measured:
+    # empty-kernel 7.52 -> 3.64 ms packed). Ship gates PACKED [vt*2, 128]
+    # (a pure reshape) and expand in-kernel by exact selector matmuls:
+    #   P1 = M1 @ packed   (row vc <- packed row vc//128)
+    #   G0 = P1 * M2       (isolate lane vc%128)
+    #   Gb = G0 @ ones     (broadcast the single nonzero across lanes)
+    vc = np.arange(vt * 256)
+    m1_np = (vc[:, None] // 128 == np.arange(vt * 2)[None, :])
+    m2_np = (vc[:, None] % 128 == np.arange(128)[None, :])
+    m1 = jnp.asarray(m1_np.astype(np.float32)).astype(dtype)    # [vt*256, vt*2]
+    m2 = jnp.asarray(m2_np.astype(np.float32)).astype(dtype)    # [vt*256, 128]
+    ones128 = jnp.ones((128, 128), dtype)
+
+    # CONV4=pair: conv4's [64,64] weight quarter-fills the 128x128 MXU; pair
+    # two views per batched-dot row block with block-diagonal weights
+    conv4_mode = os.environ.get("CONV4", "plain")
+    w4_np = np.asarray(folded["w4"], np.float32)  # [3, 64, 64]
+    w4bd_np = np.zeros((3, 128, 128), np.float32)
+    w4bd_np[:, :64, :64] = w4_np
+    w4bd_np[:, 64:, 64:] = w4_np
+    w4bd = jnp.asarray(w4bd_np).astype(dtype)
+
+    def conv_pair(h2, w4bd_ref, b, cin, t):
+        """conv4, 2 views per batch element via block-diag weights, f32 out."""
+        acc = None
+        for k in range(3):
+            s3 = shift2(h2, k).astype(dtype).reshape(vt // 2, 2 * cin, t)
+            y = bdot(jnp.broadcast_to(w4bd_ref[k][None], (vt // 2, 2 * cin, 2 * cin)), s3)
+            acc = y if acc is None else acc + y
+        acc2 = acc.reshape(vt * cin, t) + brep(b)
+        return jnp.maximum(acc2, 0.0)
+
+    def dot2(a2, b2):
+        return jax.lax.dot_general(
+            a2, b2, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def kernel(latent_ref, gcol_ref, srep_ref, m1_ref, m2_ref, ones_ref,
+               w4bd_ref, sel_ref, u1_ref, u2_ref,
+               w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, out_ref):
         def finish(hh):
             red = jnp.sum(hh.astype(jnp.float32), axis=1, keepdims=True)
             out_ref[0] = jnp.zeros((vt, SEQ), jnp.float32) + jnp.sum(red)
+
+        if stop == "empty":
+            out_ref[0] = jnp.zeros((vt, SEQ), jnp.float32)
+            return
+        lat = latent_ref[0].astype(dtype)                      # [256, 128]
+        if gate_mode == "selmm":
+            lat_rep = dot2(srep_ref[:], lat).astype(dtype)     # [vt*256, 128]
+        else:
+            lat_rep = pltpu.repeat(lat, vt, axis=0)            # [vt*256, 128]
+        if stop == "repeat":
+            return finish(lat_rep)
+        if gate_mode == "packmm":
+            packed = gcol_ref[0, 0].astype(dtype)              # [vt*2, 128]
+            p1 = dot2(m1_ref[:], packed).astype(dtype)         # [vt*256, 128]
+            gb = dot2(p1 * m2_ref[:], ones_ref[:]).astype(dtype)
+            h = lat_rep * gb                                   # [vt*256, 128]
+        else:
+            g_col = gcol_ref[0, 0].astype(dtype)               # [vt*256, 1]
+            h = lat_rep * g_col                                # [vt*256, 128]
 
         if stop == "gate":
             return finish(h)
@@ -150,20 +211,29 @@ def main(stop="conv5"):
         h = upconv(h, w3[:], b3[:], u2_ref[:], 128, 2 * FEAT)  # [vt*64, 512]
         if stop == "upconv2":
             return finish(h)
-        h = conv(h, w4[:], b4[:], 64, SEQ, True, carry_f32=True)  # [vt*64, 512] f32
+        if conv4_mode == "pair":
+            h = conv_pair(h, w4bd_ref, b4[:], 64, SEQ)            # [vt*64, 512] f32
+        else:
+            h = conv(h, w4[:], b4[:], 64, SEQ, True, carry_f32=True)
         if stop == "conv4":
             return finish(h)
         h = conv5_selw(h, sel_ref, b5[:])                      # [vt, 512] f32
         out_ref[0] = jax.nn.sigmoid(h / 3.0)
 
-    weight_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 13  # sel, u1, u2 + 10 w
+    # srep, m1, m2, ones, w4bd, sel, u1, u2 + 10 w
+    weight_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 18
+    if gate_mode == "packmm":
+        gspec = pl.BlockSpec((1, 1, vt * 2, 128), lambda b, v: (b, v, 0, 0),
+                             memory_space=pltpu.VMEM)
+    else:
+        gspec = pl.BlockSpec((1, 1, vt * 256, 1), lambda b, v: (b, v, 0, 0),
+                             memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kernel,
         grid=(B, n_vt),
         in_specs=[
             pl.BlockSpec((1, 256, FEAT), lambda b, v: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, vt * 256, 1), lambda b, v: (b, v, 0, 0),
-                         memory_space=pltpu.VMEM),
+            gspec,
             *weight_specs,
         ],
         out_specs=pl.BlockSpec((1, vt, SEQ), lambda b, v: (b, v, 0), memory_space=pltpu.VMEM),
@@ -178,21 +248,26 @@ def main(stop="conv5"):
              folded["w5"], folded["b5"].reshape(1, 1))  # bias as (1,1): 2-D broadcast
 
     def gcol(g):
-        # [B, V, 256] -> [B, n_vt, vt*256, 1]: the (view, channel) gate column
-        # per view tile, prepared in XLA (a reshape — no kernel relayout)
+        # [B, V, 256] -> (v, c)-ordered gate block per view tile, prepared in
+        # XLA (a pure reshape — no kernel relayout). packmm ships it PACKED
+        # [vt*2, 128] (tile-dense); other modes as the [vt*256, 1] column.
+        if gate_mode == "packmm":
+            return g.reshape(g.shape[0], n_vt, vt * 2, 128)
         return g.reshape(g.shape[0], n_vt, vt * 256, 1)
 
     @jax.jit
     def chain(lat, gg):
         def body(c, g_step):
-            out = call(lat, gcol(g_step), selw, u1, u2, *wargs)
+            out = call(lat, gcol(g_step), srep, m1, m2, ones128, w4bd,
+                       selw, u1, u2, *wargs)
             return c + out.sum(), None
 
         acc, _ = jax.lax.scan(body, 0.0, gg)
         return acc
 
     try:
-        out_b = call(latent, gcol(gates_k[0]), selw, u1, u2, *wargs)
+        out_b = call(latent, gcol(gates_k[0]), srep, m1, m2, ones128, w4bd,
+                     selw, u1, u2, *wargs)
         np.asarray(out_b)
     except Exception as e:  # noqa: BLE001
         print(f"layoutB[{stop}] FAILED: {str(e)[:300]}", flush=True)
