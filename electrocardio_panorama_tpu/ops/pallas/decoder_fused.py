@@ -319,23 +319,45 @@ def _decoder_kernel(latent_ref, gates_ref, u1_ref, u2_ref, e_ref, t_ref,
     out_ref[0] = out.reshape(vt, SEQ).astype(out_ref.dtype)
 
 
-# ----------------------------------------------- layout-B kernel (bf16 path)
-# Activations live row-major (view, channel) as 2-D [VT*C, t]:
-#   * gate stage = sublane-repeat of the latent x a pre-reshaped [VT*256, 1]
-#     gate column (prepared in XLA) — no selector matmuls;
-#   * channel mixes + upsample are BATCHED dot_generals over the view dim
-#     ([VT*C, t] <-> [VT, C, t] views are free) — no sublane relayouts;
-#   * lane shifts need no boundary masks (each row is one view's channel);
-#   * conv5 (Cout=1) = three weighted row-selector matmuls (weights baked in
-#     outside) + post-shifts.
-# Measured bitwise-identical to the layout-A bf16 chain and ~3% faster
-# (tools/bench_kernel_layoutB.py; docs/KERNELS.md). Mosaic discipline: this
-# toolchain's compile helper crashes on 3-D broadcasts, multi-axis
-# reductions, M=1 batched dots, and in-kernel 1-D vector reshapes — all
-# elementwise work here stays 2-D, bias columns come from sublane-repeat,
-# and conv5's weights/bias arrive pre-shaped. The f32 pipeline keeps the
-# layout-A kernel (exact-precision path, no need to re-audit it against the
-# crash list).
+# -------------------------------------- polyphase layout-B kernel (bf16 path)
+# Activations live row-major (view, channel) as 2-D [VT*C, t] (layout B), and
+# every (x2 upsample -> k3 conv) pair runs in POLYPHASE form: conv(up(x))
+# splits into per-output-parity k3 convs at the NARROW width,
+#
+#   y[2i]   = A_0 x[i-1] + A_1 x[i] + A_2 x[i+1]
+#   y[2i+1] = B_0 x[i-1] + B_1 x[i] + B_2 x[i+1]
+#   A_0 = .75W_0+.25W_1   A_1 = .25W_0+.75W_1+.75W_2   A_2 = .25W_2
+#   B_0 = .25W_0          B_1 = .75W_0+.75W_1+.25W_2   B_2 = .25W_1+.75W_2
+#
+# exact for torch Upsample(x2, linear, align_corners=False) + zero-pad conv
+# EXCEPT at the clamped edges — four single-column corrections (derived and
+# verified against the dense form, tools/bench_kernel_polyphase.py):
+#   y_e[:,0] += .25(W_1-W_0)x[:,0]   y_e[:,n-1] += .25 W_2      x[:,n-1]
+#   y_o[:,0] += .25 W_0     x[:,0]   y_o[:,n-1] += .25(W_1-W_2) x[:,n-1]
+#
+# Why: the dense [n, 2n] upsample matrices have two nonzeros per column, so
+# upconv2's h @ U_k dots burned 80% of its FLOPs on zeros (31.5 -> 12.6
+# MMACs/view). upconv1 keeps the U-matmul form with U's columns pre-split by
+# parity (same FLOPs either way at Cin=2n, and no corrections needed — the
+# U columns encode clamp+pad exactly); it BIRTHS the signal in (even, odd)
+# planes. conv2 runs 2-phase, upconv2 maps 2 -> 4 phases, conv4/conv5 run
+# 4-phase, and the kernel emits phase-BLOCKED rows [VT, 4*128] that XLA
+# interleaves to time order outside. Gates arrive PACKED [VT*2, 128] (the
+# [VT*256, 1] column block is ONE LANE wide — its VMEM image is 128x
+# inflated and its DMA costs ~3.9 ms/launch) and are expanded in-kernel by
+# exact selector matmuls. Measured 13.97 vs 15.04 ms/launch against the
+# pre-polyphase layout-B chain (770k vs 715k views/s decode-chain), mae
+# 4.4e-6 (docs/KERNELS.md).
+#
+# Mosaic discipline: this toolchain's compile helper crashes on 3-D
+# broadcasts, multi-axis reductions, M=1 batched dots, and in-kernel 1-D
+# vector reshapes — all elementwise work here stays 2-D, bias columns come
+# from sublane-repeat, corrections use N=8 dots + lane concats, and conv5's
+# weights arrive pre-shaped as weighted row-selectors. The f32 pipeline
+# keeps the layout-A kernel (exact-precision path, independently audited
+# against the crash list).
+
+QW = SEQ // 4  # 128: quarter-width phase planes
 
 
 def _bdot_vc(a3, b3):
@@ -346,12 +368,23 @@ def _bdot_vc(a3, b3):
     )
 
 
-def _shift2_vc(h2, k: int):
-    if k == 1:
-        return h2
+def _dot2_vc(a2, b2):
+    """2-D [M, K] @ [K, N] -> [M, N], f32 accumulation."""
+    return jax.lax.dot_general(
+        a2, b2, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _shiftR_vc(h2):
+    """x[i-1] along lanes, zero at col 0 (per-row = per-(view, channel))."""
     z = jnp.zeros((h2.shape[0], 1), h2.dtype)
-    if k == 0:
-        return jnp.concatenate([z, h2[:, :-1]], axis=1)
+    return jnp.concatenate([z, h2[:, :-1]], axis=1)
+
+
+def _shiftL_vc(h2):
+    """x[i+1] along lanes, zero at the last col."""
+    z = jnp.zeros((h2.shape[0], 1), h2.dtype)
     return jnp.concatenate([h2[:, 1:], z], axis=1)
 
 
@@ -365,56 +398,154 @@ def conv5_selectors(v_tile: int, w5, dtype):
     return (sel[None] * w5t[:, None, :]).astype(dtype)
 
 
-def _decoder_kernel_vc(latent_ref, gcol_ref, selw_ref, u1_ref, u2_ref,
-                       w1, b1, w2, b2, w3, b3, w4, b4, b5_2d,
+def polyphase_matrices(folded: dict):
+    """Per-parity matrices for the polyphase upconv2 + upconv1's split-U.
+
+    Returns (u1e, u1o [3, 128, 128], ab3 [6, 64, 128] = A0..A2,B0..B2,
+    c3 [4, 64, 128] edge-correction matrices), all in the folded dtype.
+    The A/B/C combinations are formed in f32 and rounded once.
+    """
+    dtype = folded["w1"].dtype
+    u1 = upsample_shift_matrices(FEAT, jnp.float32)
+    u1e, u1o = u1[:, :, 0::2].astype(dtype), u1[:, :, 1::2].astype(dtype)
+    w3 = folded["w3"].astype(jnp.float32)
+    ab3 = jnp.stack([
+        0.75 * w3[0] + 0.25 * w3[1],
+        0.25 * w3[0] + 0.75 * w3[1] + 0.75 * w3[2],
+        0.25 * w3[2],
+        0.25 * w3[0],
+        0.75 * w3[0] + 0.75 * w3[1] + 0.25 * w3[2],
+        0.25 * w3[1] + 0.75 * w3[2],
+    ]).astype(dtype)
+    c3 = jnp.stack([
+        0.25 * (w3[1] - w3[0]),  # p0 col 0   (x col = e[:, 0])
+        0.25 * w3[0],            # p1 col 0   (e[:, 0])
+        0.25 * w3[2],            # p2 col 127 (o[:, 127])
+        0.25 * (w3[1] - w3[2]),  # p3 col 127 (o[:, 127])
+    ]).astype(dtype)
+    return u1e, u1o, ab3, c3
+
+
+def gate_expand_selectors(v_tile: int, dtype):
+    """Selectors expanding the packed [VT*2, 128] gate block to the (v, c)
+    row order: P1 = M1 @ packed copies row vc//128, M2 isolates lane vc%128,
+    and a ones-matmul broadcasts the single nonzero across lanes — all
+    value-exact (each output sums exactly one product by 1.0)."""
+    import numpy as np
+
+    vcol = np.arange(v_tile * 256)
+    m1 = (vcol[:, None] // 128 == np.arange(v_tile * 2)[None, :])
+    m2 = (vcol[:, None] % 128 == np.arange(128)[None, :])
+    return (jnp.asarray(m1.astype(np.float32)).astype(dtype),
+            jnp.asarray(m2.astype(np.float32)).astype(dtype),
+            jnp.ones((128, 128), dtype))
+
+
+def _decoder_kernel_pp(latent_ref, gpack_ref, m1_ref, m2_ref, ones_ref,
+                       selw_ref, u1e_ref, u1o_ref, ab3_ref, c3_ref,
+                       w1, b1, w2, b2, b3r, w4, b4, b5_2d,
                        out_ref, *, vt: int, storage_dtype):
+    od = storage_dtype
+
     def brep(vec):
         return pltpu.repeat(vec.reshape(-1, 1), vt, axis=0)  # [VT*C, 1] f32
 
-    def upconv(h2, w_taps, b, u3, cin, n_in):
-        cout = w_taps.shape[1]
-        h3 = h2.reshape(vt, cin, n_in)
-        acc = None
-        for k in range(3):
-            g = _bdot_vc(jnp.broadcast_to(w_taps[k][None], (vt, cout, cin)), h3)
-            y = _bdot_vc(g.astype(h2.dtype),
-                         jnp.broadcast_to(u3[k][None], (vt, n_in, 2 * n_in)))
-            acc = y if acc is None else acc + y
-        acc2 = acc.reshape(vt * cout, 2 * n_in) + brep(b)
-        return jnp.maximum(acc2, 0.0).astype(h2.dtype)
+    def r3(h2, c):
+        return h2.astype(od).reshape(vt, c, h2.shape[1])
 
-    def conv(h2, w_taps, b, cin, t, relu, carry_f32=False):
-        cout = w_taps.shape[1]
-        acc = None
-        for k in range(3):
-            s3 = _shift2_vc(h2, k).astype(w_taps.dtype).reshape(vt, cin, t)
-            y = _bdot_vc(jnp.broadcast_to(w_taps[k][None], (vt, cout, cin)), s3)
-            acc = y if acc is None else acc + y
-        acc2 = acc.reshape(vt * cout, t) + brep(b)
-        if relu:
-            acc2 = jnp.maximum(acc2, 0.0)
-        return acc2 if carry_f32 else acc2.astype(h2.dtype)
+    def wb(w2d, cout, cin):
+        return jnp.broadcast_to(w2d[None], (vt, cout, cin))
 
-    lat_rep = pltpu.repeat(latent_ref[0].astype(storage_dtype), vt, axis=0)
-    h = lat_rep * gcol_ref[0, 0].astype(storage_dtype)          # [VT*256, 128]
-    h = upconv(h, w1[:], b1[:], u1_ref[:], 256, FEAT)           # [VT*128, 256]
-    h = conv(h, w2[:], b2[:], 128, 2 * FEAT, True)              # [VT*128, 256]
-    h = upconv(h, w3[:], b3[:], u2_ref[:], 128, 2 * FEAT)       # [VT*64, 512]
-    h = conv(h, w4[:], b4[:], 64, SEQ, True, carry_f32=True)    # [VT*64, 512] f32
-    # conv5: weighted selectors + post-shifts (f32-carried tail)
-    gs = [
-        jax.lax.dot_general(
-            selw_ref[k], h.astype(storage_dtype),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        for k in range(3)
-    ]
-    z = jnp.zeros((vt, 1), jnp.float32)
-    left = jnp.concatenate([z, gs[0][:, :-1]], axis=1)
-    right = jnp.concatenate([gs[2][:, 1:], z], axis=1)
-    out = jax.nn.sigmoid((left + gs[1] + right + b5_2d[:]) / 3.0)
-    out_ref[0] = out.astype(out_ref.dtype)
+    # gate stage: packed-gate expansion + latent sublane-repeat
+    lat_rep = pltpu.repeat(latent_ref[0].astype(od), vt, axis=0)
+    p1g = _dot2_vc(m1_ref[:], gpack_ref[0, 0].astype(od)).astype(od)
+    gb = _dot2_vc(p1g * m2_ref[:], ones_ref[:]).astype(od)
+    h = lat_rep * gb                                            # [VT*256, 128]
+
+    # upconv1 -> 2-phase (e, o), each [VT*128, 128]
+    h3 = h.reshape(vt, 256, FEAT)
+    ae = ao = None
+    for k in range(3):
+        g = _bdot_vc(wb(w1[k], 128, 256), h3).astype(od)        # [VT,128,128]
+        ye = _bdot_vc(g, jnp.broadcast_to(u1e_ref[k][None], (vt, FEAT, FEAT)))
+        yo = _bdot_vc(g, jnp.broadcast_to(u1o_ref[k][None], (vt, FEAT, FEAT)))
+        ae = ye if ae is None else ae + ye
+        ao = yo if ao is None else ao + yo
+    bb = brep(b1[:])
+    e = jnp.maximum(ae.reshape(vt * 128, FEAT) + bb, 0.0).astype(od)
+    o = jnp.maximum(ao.reshape(vt * 128, FEAT) + bb, 0.0).astype(od)
+
+    # conv2 in 2-phase: c_e = V0 o[i-1] + V1 e + V2 o; c_o = V0 e + V1 o + V2 e[i+1]
+    om, ep = _shiftR_vc(o), _shiftL_vc(e)
+    W2 = [wb(w2[k], 128, 128) for k in range(3)]
+    ce = (_bdot_vc(W2[0], r3(om, 128)) + _bdot_vc(W2[1], r3(e, 128))
+          + _bdot_vc(W2[2], r3(o, 128)))
+    co = (_bdot_vc(W2[0], r3(e, 128)) + _bdot_vc(W2[1], r3(o, 128))
+          + _bdot_vc(W2[2], r3(ep, 128)))
+    bb = brep(b2[:])
+    e = jnp.maximum(ce.reshape(vt * 128, FEAT) + bb, 0.0).astype(od)
+    o = jnp.maximum(co.reshape(vt * 128, FEAT) + bb, 0.0).astype(od)
+
+    # upconv2: 2-phase -> 4-phase via the A/B matrices (the FLOP win)
+    om, ep = _shiftR_vc(o), _shiftL_vc(e)
+    e3, o3, om3, ep3 = r3(e, 128), r3(o, 128), r3(om, 128), r3(ep, 128)
+    A = [wb(ab3_ref[k], 64, 128) for k in range(3)]
+    Bm = [wb(ab3_ref[3 + k], 64, 128) for k in range(3)]
+    p0 = _bdot_vc(A[0], om3) + _bdot_vc(A[1], e3) + _bdot_vc(A[2], o3)
+    p1 = _bdot_vc(Bm[0], om3) + _bdot_vc(Bm[1], e3) + _bdot_vc(Bm[2], o3)
+    p2 = _bdot_vc(A[0], e3) + _bdot_vc(A[1], o3) + _bdot_vc(A[2], ep3)
+    p3 = _bdot_vc(Bm[0], e3) + _bdot_vc(Bm[1], o3) + _bdot_vc(Bm[2], ep3)
+    # edge-clamp corrections: narrow N=8 dots on the boundary columns,
+    # injected by lane concat (p0/p1 at col 0, p2/p3 at col 127)
+    xb0 = jnp.concatenate(
+        [e[:, 0:1], jnp.zeros((vt * 128, 7), od)], axis=1).reshape(vt, 128, 8)
+    xb1 = jnp.concatenate(
+        [o[:, QW - 1:QW], jnp.zeros((vt * 128, 7), od)], axis=1
+    ).reshape(vt, 128, 8)
+    corr = [_bdot_vc(wb(c3_ref[k], 64, 128), xb)
+            for k, xb in ((0, xb0), (1, xb0), (2, xb1), (3, xb1))]
+    z127 = jnp.zeros((vt * 64, QW - 1), jnp.float32)
+    p0 = p0.reshape(vt * 64, QW) + jnp.concatenate(
+        [corr[0].reshape(vt * 64, 8)[:, 0:1], z127], axis=1)
+    p1 = p1.reshape(vt * 64, QW) + jnp.concatenate(
+        [corr[1].reshape(vt * 64, 8)[:, 0:1], z127], axis=1)
+    p2 = p2.reshape(vt * 64, QW) + jnp.concatenate(
+        [z127, corr[2].reshape(vt * 64, 8)[:, 0:1]], axis=1)
+    p3 = p3.reshape(vt * 64, QW) + jnp.concatenate(
+        [z127, corr[3].reshape(vt * 64, 8)[:, 0:1]], axis=1)
+    bb = brep(b3r[:])
+    p0 = jnp.maximum(p0 + bb, 0.0).astype(od)
+    p1 = jnp.maximum(p1 + bb, 0.0).astype(od)
+    p2 = jnp.maximum(p2 + bb, 0.0).astype(od)
+    p3 = jnp.maximum(p3 + bb, 0.0).astype(od)
+
+    # conv4 in 4-phase (f32-carried output — the pre-sigmoid tail must not
+    # round to bf16; operands follow the storage dtype as in layout A)
+    p3m, p0p = _shiftR_vc(p3), _shiftL_vc(p0)
+    P = [r3(x, 64) for x in (p0, p1, p2, p3, p3m, p0p)]
+    W4 = [wb(w4[k], 64, 64) for k in range(3)]
+    q0 = _bdot_vc(W4[0], P[4]) + _bdot_vc(W4[1], P[0]) + _bdot_vc(W4[2], P[1])
+    q1 = _bdot_vc(W4[0], P[0]) + _bdot_vc(W4[1], P[1]) + _bdot_vc(W4[2], P[2])
+    q2 = _bdot_vc(W4[0], P[1]) + _bdot_vc(W4[1], P[2]) + _bdot_vc(W4[2], P[3])
+    q3 = _bdot_vc(W4[0], P[2]) + _bdot_vc(W4[1], P[3]) + _bdot_vc(W4[2], P[5])
+    bb = brep(b4[:])
+    q0 = jnp.maximum(q0.reshape(vt * 64, QW) + bb, 0.0)
+    q1 = jnp.maximum(q1.reshape(vt * 64, QW) + bb, 0.0)
+    q2 = jnp.maximum(q2.reshape(vt * 64, QW) + bb, 0.0)
+    q3 = jnp.maximum(q3.reshape(vt * 64, QW) + bb, 0.0)
+
+    # conv5 in 4-phase: weighted row-selector dots on shifted planes
+    q3m, q0p = _shiftR_vc(q3.astype(od)), _shiftL_vc(q0.astype(od))
+
+    def sdot(k, h2):
+        return _dot2_vc(selw_ref[k], h2.astype(od))
+
+    r0 = sdot(0, q3m) + sdot(1, q0) + sdot(2, q1)
+    r1 = sdot(0, q0) + sdot(1, q1) + sdot(2, q2)
+    r2 = sdot(0, q1) + sdot(1, q2) + sdot(2, q3)
+    r3_ = sdot(0, q2) + sdot(1, q3) + sdot(2, q0p)
+    out = jnp.concatenate([r0, r1, r2, r3_], axis=1) + b5_2d[:]  # [VT, 4*128]
+    out_ref[0] = jax.nn.sigmoid(out / 3.0).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("v_tile", "interpret"))
@@ -444,17 +575,21 @@ def fused_decode_views(folded: dict, latent_all, gates, *, v_tile: int = 16,
     n_vt = Vp // v_tile
 
     if dtype != jnp.float32:
-        # bf16 pipeline: layout-B (view, channel)-row kernel
-        gcol = gates.reshape(B, n_vt, v_tile * 256, 1)
+        # bf16 pipeline: polyphase layout-B kernel; gates ship PACKED
+        # [VT*2, 128] (pure reshape — the [VT*256, 1] column block is one
+        # lane wide and its DMA costs ~3.9 ms/launch, docs/KERNELS.md)
+        gpack = gates.reshape(B, n_vt, v_tile * 2, 128)
         selw = conv5_selectors(v_tile, folded["w5"], dtype)
-        kernel = functools.partial(_decoder_kernel_vc, vt=v_tile, storage_dtype=dtype)
-        weight_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12
+        u1e, u1o, ab3, c3 = polyphase_matrices(folded)
+        m1, m2, ones128 = gate_expand_selectors(v_tile, dtype)
+        kernel = functools.partial(_decoder_kernel_pp, vt=v_tile, storage_dtype=dtype)
+        weight_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 16
         out = pl.pallas_call(
             kernel,
             grid=(B, n_vt),
             in_specs=[
                 pl.BlockSpec((1, 256, FEAT), lambda b, v: (b, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, v_tile * 256, 1), lambda b, v: (b, v, 0, 0),
+                pl.BlockSpec((1, 1, v_tile * 2, 128), lambda b, v: (b, v, 0, 0),
                              memory_space=pltpu.VMEM),
                 *weight_specs,
             ],
@@ -466,13 +601,14 @@ def fused_decode_views(folded: dict, latent_all, gates, *, v_tile: int = 16,
                 vmem_limit_bytes=VMEM_LIMIT_BYTES,
             ),
         )(
-            latent_all, gcol, selw,
-            upsample_shift_matrices(FEAT, dtype),
-            upsample_shift_matrices(2 * FEAT, dtype),
+            latent_all, gpack, m1, m2, ones128, selw, u1e, u1o, ab3, c3,
             folded["w1"], folded["b1"], folded["w2"], folded["b2"],
-            folded["w3"], folded["b3"], folded["w4"], folded["b4"],
+            folded["b3"], folded["w4"], folded["b4"],
             folded["b5"].reshape(1, 1),
         )
+        # kernel rows are phase-blocked [e, o-of-even, ...] = out[..., 4i+r]
+        # at plane r: interleave back to time order in XLA
+        out = out.reshape(B, Vp, 4, QW).transpose(0, 1, 3, 2).reshape(B, Vp, SEQ)
         return out[:, :V] if pad else out
 
     weight_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 14

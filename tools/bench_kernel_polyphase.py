@@ -167,7 +167,7 @@ def main():
             yo = bdot(g, bcast(u1o_ref[k]))
             ae = ye if ae is None else ae + ye
             ao = yo if ao is None else ao + yo
-        bb = brep(b1)
+        bb = brep(b1[:])
         e = jnp.maximum(ae.reshape(vt * 128, FEAT) + bb, 0.0).astype(dtype)
         o = jnp.maximum(ao.reshape(vt * 128, FEAT) + bb, 0.0).astype(dtype)
 
@@ -180,7 +180,7 @@ def main():
             + bdot(bcast(w2[2]), r3(o, 128))
         co = bdot(bcast(w2[0]), r3(e, 128)) + bdot(bcast(w2[1]), r3(o, 128)) \
             + bdot(bcast(w2[2]), r3(ep, 128))
-        bb = brep(b2)
+        bb = brep(b2[:])
         e = jnp.maximum(ce.reshape(vt * 128, FEAT) + bb, 0.0).astype(dtype)
         o = jnp.maximum(co.reshape(vt * 128, FEAT) + bb, 0.0).astype(dtype)
 
@@ -212,7 +212,7 @@ def main():
             [z127, corr[2].reshape(vt * 64, 8)[:, 0:1]], axis=1)
         p3 = p3.reshape(vt * 64, QW) + jnp.concatenate(
             [z127, corr[3].reshape(vt * 64, 8)[:, 0:1]], axis=1)
-        bb = brep(b3r)
+        bb = brep(b3r[:])
         p0 = jnp.maximum(p0 + bb, 0.0).astype(dtype)
         p1 = jnp.maximum(p1 + bb, 0.0).astype(dtype)
         p2 = jnp.maximum(p2 + bb, 0.0).astype(dtype)
@@ -234,7 +234,7 @@ def main():
         q1 = bdot(W4[0], P[0]) + bdot(W4[1], P[1]) + bdot(W4[2], P[2])
         q2 = bdot(W4[0], P[1]) + bdot(W4[1], P[2]) + bdot(W4[2], P[3])
         q3 = bdot(W4[0], P[2]) + bdot(W4[1], P[3]) + bdot(W4[2], P[5])
-        bb = brep(b4)
+        bb = brep(b4[:])
         q0 = jnp.maximum(q0.reshape(vt * 64, QW) + bb, 0.0)
         q1 = jnp.maximum(q1.reshape(vt * 64, QW) + bb, 0.0)
         q2 = jnp.maximum(q2.reshape(vt * 64, QW) + bb, 0.0)
