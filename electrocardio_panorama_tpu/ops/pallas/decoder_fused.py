@@ -356,6 +356,33 @@ def _decoder_kernel(latent_ref, gates_ref, u1_ref, u2_ref, e_ref, t_ref,
 # weights arrive pre-shaped as weighted row-selectors. The f32 pipeline
 # keeps the layout-A kernel (exact-precision path, independently audited
 # against the crash list).
+#
+# DOT FUSION (third kernel generation, tools/bench_kernel_dotfuse.py):
+# the polyphase chain above issued 54 dots per program, most N=128 and
+# conv4's K=64 — half the MXU's 128-lane contraction. The production kernel
+# now restructures every stage around 30 fewer-but-wider dots, all
+# value-equal to the polyphase form (summation order changes only —
+# measured corr 1.0 / max 5.7e-6 vs the 54-dot chain on chip):
+#   * upconv1: the per-parity upsample matrices concat along N on the host
+#     (u1eo [3, 128, 256]) and the stage emits Y = [e|o] as ONE plane
+#     (3 upsample dots instead of 6);
+#   * conv2 N-fused: [ce|co] = W0@[om|e] + W1@[e|o] + W2@[o|ep], where
+#     [e|o] is upconv1's output VERBATIM (3 dots at N=256 instead of 6);
+#   * upconv2 M-stacked: the A/B weight pairs stack along M ([A_k;B_k],
+#     dense) so [p0;p1] and [p2;p3] each take 3 [128,128] dots (6 instead
+#     of 12 at M=64); edge corrections stack the same way (2 dots, not 4);
+#   * conv4 at K=128: with the phase pairs channel-stacked, each output
+#     phase is TWO dots with concatenated weight blocks, e.g.
+#     q0 = [W1 W2]@[p0;p1] + [0 W0]@shiftR([p2;p3]) — 8 dots at full
+#     contraction width instead of 12 at K=64;
+#   * conv5 N-fused: r = S0@[q3m|q0|q1|q2] + S1@[q0|q1|q2|q3]
+#     + S2@[q1|q2|q3|q0p] — 3 selector dots at N=512 instead of 12;
+#   * gate in COLUMN form: the [VT*256, 128] ones-broadcast matmul
+#     (67M MACs/program — the stage profile's 1.87 ms hot spot) reduces to
+#     a narrow N=8 dot producing a one-lane column + a lane-broadcast
+#     MULTIPLY (one-lane intermediates are fine in VMEM; the poison was
+#     only ever the one-lane DMA block image).
+# Measured 13.97 -> 12.95 ms/launch (decode-chain 770k -> ~830k views/s).
 
 QW = SEQ // 4  # 128: quarter-width phase planes
 
@@ -429,7 +456,8 @@ def polyphase_matrices(folded: dict):
 def gate_expand_selectors(v_tile: int, dtype):
     """Selectors expanding the packed [VT*2, 128] gate block to the (v, c)
     row order: P1 = M1 @ packed copies row vc//128, M2 isolates lane vc%128,
-    and a ones-matmul broadcasts the single nonzero across lanes — all
+    and a narrow slice of the ones matrix reduces the single nonzero to a
+    one-lane column (the kernel then lane-broadcasts it by multiply) — all
     value-exact (each output sums exactly one product by 1.0)."""
     import numpy as np
 
@@ -441,9 +469,36 @@ def gate_expand_selectors(v_tile: int, dtype):
             jnp.ones((128, 128), dtype))
 
 
+def dotfuse_operands(folded: dict):
+    """Host-side operator prep for the dot-fused kernel (see DOT FUSION
+    above): concatenated/stacked forms of the polyphase matrices so every
+    in-kernel dot is as wide as the algebra allows. All concats are
+    value-exact rearrangements of the folded weights (no arithmetic beyond
+    polyphase_matrices' f32 combinations).
+
+    Returns (u1eo [3, 128, 256], ab_m [3, 128, 128] = [A_k;B_k],
+    c01/c23 [128, 128] stacked edge corrections, b3_2 [256] f32 doubled
+    bias, w4_12/w4_z0/w4_01/w4_2z [64, 128] concatenated conv4 blocks).
+    """
+    dtype = folded["w1"].dtype
+    u1e, u1o, ab3, c3 = polyphase_matrices(folded)
+    u1eo = jnp.concatenate([u1e, u1o], axis=2)            # [3, 128, 256]
+    ab_m = jnp.concatenate([ab3[:3], ab3[3:]], axis=1)    # [3, 128, 128]
+    c01 = jnp.concatenate([c3[0], c3[1]], axis=0)         # [128, 128]
+    c23 = jnp.concatenate([c3[2], c3[3]], axis=0)
+    b3_2 = jnp.concatenate([folded["b3"], folded["b3"]])  # [256] f32
+    w4 = folded["w4"]                                     # [3, 64, 64]
+    z64 = jnp.zeros((64, 64), dtype)
+    w4_12 = jnp.concatenate([w4[1], w4[2]], axis=1)       # q0 <- [p0;p1]
+    w4_z0 = jnp.concatenate([z64, w4[0]], axis=1)         # q0 <- shiftR([p2;p3])
+    w4_01 = jnp.concatenate([w4[0], w4[1]], axis=1)       # q1 <- [p0;p1]
+    w4_2z = jnp.concatenate([w4[2], z64], axis=1)         # q1 <- [p2;p3]
+    return u1eo, ab_m, c01, c23, b3_2, w4_12, w4_z0, w4_01, w4_2z
+
+
 def _decoder_kernel_pp(latent_ref, gpack_ref, m1_ref, m2_ref, ones_ref,
-                       selw_ref, u1e_ref, u1o_ref, ab3_ref, c3_ref,
-                       w1, b1, w2, b2, b3r, w4, b4, b5_2d,
+                       selw_ref, u1eo_ref, abm_ref, c01_ref, c23_ref,
+                       w1, b1, w2, b2, b3_2d, w4a, w4b, w4c, w4d, b4, b5_2d,
                        out_ref, *, vt: int, storage_dtype):
     od = storage_dtype
 
@@ -453,98 +508,93 @@ def _decoder_kernel_pp(latent_ref, gpack_ref, m1_ref, m2_ref, ones_ref,
     def r3(h2, c):
         return h2.astype(od).reshape(vt, c, h2.shape[1])
 
-    def wb(w2d, cout, cin):
-        return jnp.broadcast_to(w2d[None], (vt, cout, cin))
+    def wb(w2d):
+        return jnp.broadcast_to(w2d[None], (vt, *w2d.shape))
 
-    # gate stage: packed-gate expansion + latent sublane-repeat
+    zc = jnp.zeros((vt * 128, 1), od)
+
+    # gate stage in COLUMN form: expand the packed block to a [VT*256, 1]
+    # column via a narrow N=8 dot, then one lane-broadcast multiply against
+    # the sublane-repeated latent
     lat_rep = pltpu.repeat(latent_ref[0].astype(od), vt, axis=0)
     p1g = _dot2_vc(m1_ref[:], gpack_ref[0, 0].astype(od)).astype(od)
-    gb = _dot2_vc(p1g * m2_ref[:], ones_ref[:]).astype(od)
-    h = lat_rep * gb                                            # [VT*256, 128]
+    gcol = _dot2_vc(p1g * m2_ref[:], ones_ref[:, :8]).astype(od)
+    h = lat_rep * gcol[:, 0:1]                                  # [VT*256, 128]
 
-    # upconv1 -> 2-phase (e, o), each [VT*128, 128]
+    # upconv1: 3 channel dots + 3 N-fused upsample dots -> Y = [e|o]
     h3 = h.reshape(vt, 256, FEAT)
-    ae = ao = None
+    acc = None
     for k in range(3):
-        g = _bdot_vc(wb(w1[k], 128, 256), h3).astype(od)        # [VT,128,128]
-        ye = _bdot_vc(g, jnp.broadcast_to(u1e_ref[k][None], (vt, FEAT, FEAT)))
-        yo = _bdot_vc(g, jnp.broadcast_to(u1o_ref[k][None], (vt, FEAT, FEAT)))
-        ae = ye if ae is None else ae + ye
-        ao = yo if ao is None else ao + yo
-    bb = brep(b1[:])
-    e = jnp.maximum(ae.reshape(vt * 128, FEAT) + bb, 0.0).astype(od)
-    o = jnp.maximum(ao.reshape(vt * 128, FEAT) + bb, 0.0).astype(od)
+        g = _bdot_vc(wb(w1[k]), h3).astype(od)                  # [VT,128,128]
+        y = _bdot_vc(g, wb(u1eo_ref[k]))                        # [VT,128,256]
+        acc = y if acc is None else acc + y
+    # bias column broadcasts across both parity halves along lanes
+    Y = jnp.maximum(acc.reshape(vt * 128, 256) + brep(b1[:]), 0.0).astype(od)
 
-    # conv2 in 2-phase: c_e = V0 o[i-1] + V1 e + V2 o; c_o = V0 e + V1 o + V2 e[i+1]
-    om, ep = _shiftR_vc(o), _shiftL_vc(e)
-    W2 = [wb(w2[k], 128, 128) for k in range(3)]
-    ce = (_bdot_vc(W2[0], r3(om, 128)) + _bdot_vc(W2[1], r3(e, 128))
-          + _bdot_vc(W2[2], r3(o, 128)))
-    co = (_bdot_vc(W2[0], r3(e, 128)) + _bdot_vc(W2[1], r3(o, 128))
-          + _bdot_vc(W2[2], r3(ep, 128)))
-    bb = brep(b2[:])
-    e = jnp.maximum(ce.reshape(vt * 128, FEAT) + bb, 0.0).astype(od)
-    o = jnp.maximum(co.reshape(vt * 128, FEAT) + bb, 0.0).astype(od)
+    # conv2 N-fused: [ce|co] = W0@[om|e] + W1@[e|o] + W2@[o|ep], with [e|o]
+    # the previous stage's output verbatim and the other two operands single
+    # 3-piece lane concats (they subsume the per-phase shift copies)
+    e, o = Y[:, :FEAT], Y[:, FEAT:]
+    X0 = jnp.concatenate([zc, o[:, :FEAT - 1], e], axis=1)
+    X2 = jnp.concatenate([o, e[:, 1:], zc], axis=1)
+    ce_co = (_bdot_vc(wb(w2[0]), r3(X0, 128))
+             + _bdot_vc(wb(w2[1]), r3(Y, 128))
+             + _bdot_vc(wb(w2[2]), r3(X2, 128)))
+    Y = jnp.maximum(ce_co.reshape(vt * 128, 256) + brep(b2[:]), 0.0).astype(od)
 
-    # upconv2: 2-phase -> 4-phase via the A/B matrices (the FLOP win)
-    om, ep = _shiftR_vc(o), _shiftL_vc(e)
+    # upconv2 M-stacked: PL = [p0;p1] over (om,e,o), PR = [p2;p3] over
+    # (e,o,ep) — the [A_k;B_k] pairs are dense, so M doubles for free
+    e, o = Y[:, :FEAT], Y[:, FEAT:]
+    om = jnp.concatenate([zc, o[:, :FEAT - 1]], axis=1)
+    ep = jnp.concatenate([e[:, 1:], zc], axis=1)
     e3, o3, om3, ep3 = r3(e, 128), r3(o, 128), r3(om, 128), r3(ep, 128)
-    A = [wb(ab3_ref[k], 64, 128) for k in range(3)]
-    Bm = [wb(ab3_ref[3 + k], 64, 128) for k in range(3)]
-    p0 = _bdot_vc(A[0], om3) + _bdot_vc(A[1], e3) + _bdot_vc(A[2], o3)
-    p1 = _bdot_vc(Bm[0], om3) + _bdot_vc(Bm[1], e3) + _bdot_vc(Bm[2], o3)
-    p2 = _bdot_vc(A[0], e3) + _bdot_vc(A[1], o3) + _bdot_vc(A[2], ep3)
-    p3 = _bdot_vc(Bm[0], e3) + _bdot_vc(Bm[1], o3) + _bdot_vc(Bm[2], ep3)
-    # edge-clamp corrections: narrow N=8 dots on the boundary columns,
-    # injected by lane concat (p0/p1 at col 0, p2/p3 at col 127)
+    AB = [wb(abm_ref[k]) for k in range(3)]
+    PL = _bdot_vc(AB[0], om3) + _bdot_vc(AB[1], e3) + _bdot_vc(AB[2], o3)
+    PR = _bdot_vc(AB[0], e3) + _bdot_vc(AB[1], o3) + _bdot_vc(AB[2], ep3)
+    # edge-clamp corrections: M-stacked narrow N=8 dots on the boundary
+    # columns, injected by lane concat (PL at col 0, PR at col 127)
     xb0 = jnp.concatenate(
         [e[:, 0:1], jnp.zeros((vt * 128, 7), od)], axis=1).reshape(vt, 128, 8)
     xb1 = jnp.concatenate(
         [o[:, QW - 1:QW], jnp.zeros((vt * 128, 7), od)], axis=1
     ).reshape(vt, 128, 8)
-    corr = [_bdot_vc(wb(c3_ref[k], 64, 128), xb)
-            for k, xb in ((0, xb0), (1, xb0), (2, xb1), (3, xb1))]
-    z127 = jnp.zeros((vt * 64, QW - 1), jnp.float32)
-    p0 = p0.reshape(vt * 64, QW) + jnp.concatenate(
-        [corr[0].reshape(vt * 64, 8)[:, 0:1], z127], axis=1)
-    p1 = p1.reshape(vt * 64, QW) + jnp.concatenate(
-        [corr[1].reshape(vt * 64, 8)[:, 0:1], z127], axis=1)
-    p2 = p2.reshape(vt * 64, QW) + jnp.concatenate(
-        [z127, corr[2].reshape(vt * 64, 8)[:, 0:1]], axis=1)
-    p3 = p3.reshape(vt * 64, QW) + jnp.concatenate(
-        [z127, corr[3].reshape(vt * 64, 8)[:, 0:1]], axis=1)
-    bb = brep(b3r[:])
-    p0 = jnp.maximum(p0 + bb, 0.0).astype(od)
-    p1 = jnp.maximum(p1 + bb, 0.0).astype(od)
-    p2 = jnp.maximum(p2 + bb, 0.0).astype(od)
-    p3 = jnp.maximum(p3 + bb, 0.0).astype(od)
+    corrL = _bdot_vc(wb(c01_ref[:]), xb0).reshape(vt * 128, 8)
+    corrR = _bdot_vc(wb(c23_ref[:]), xb1).reshape(vt * 128, 8)
+    z127 = jnp.zeros((vt * 128, QW - 1), jnp.float32)
+    PL = PL.reshape(vt * 128, QW) + jnp.concatenate(
+        [corrL[:, 0:1], z127], axis=1)
+    PR = PR.reshape(vt * 128, QW) + jnp.concatenate(
+        [z127, corrR[:, 0:1]], axis=1)
+    bb = brep(b3_2d[:])
+    PL = jnp.maximum(PL + bb, 0.0).astype(od)
+    PR = jnp.maximum(PR + bb, 0.0).astype(od)
 
-    # conv4 in 4-phase (f32-carried output — the pre-sigmoid tail must not
-    # round to bf16; operands follow the storage dtype as in layout A)
-    p3m, p0p = _shiftR_vc(p3), _shiftL_vc(p0)
-    P = [r3(x, 64) for x in (p0, p1, p2, p3, p3m, p0p)]
-    W4 = [wb(w4[k], 64, 64) for k in range(3)]
-    q0 = _bdot_vc(W4[0], P[4]) + _bdot_vc(W4[1], P[0]) + _bdot_vc(W4[2], P[1])
-    q1 = _bdot_vc(W4[0], P[0]) + _bdot_vc(W4[1], P[1]) + _bdot_vc(W4[2], P[2])
-    q2 = _bdot_vc(W4[0], P[1]) + _bdot_vc(W4[1], P[2]) + _bdot_vc(W4[2], P[3])
-    q3 = _bdot_vc(W4[0], P[2]) + _bdot_vc(W4[1], P[3]) + _bdot_vc(W4[2], P[5])
-    bb = brep(b4[:])
+    # conv4 at K=128: two concat-weight dots per output phase (f32-carried
+    # output — the pre-sigmoid tail must not round to bf16; operands follow
+    # the storage dtype as in layout A)
+    PRs, PLs = _shiftR_vc(PR), _shiftL_vc(PL)
+    PL3, PR3 = r3(PL, 128), r3(PR, 128)
+    PRs3, PLs3 = r3(PRs, 128), r3(PLs, 128)
+    q0 = _bdot_vc(wb(w4a[:]), PL3) + _bdot_vc(wb(w4b[:]), PRs3)
+    q1 = _bdot_vc(wb(w4c[:]), PL3) + _bdot_vc(wb(w4d[:]), PR3)
+    q2 = _bdot_vc(wb(w4b[:]), PL3) + _bdot_vc(wb(w4a[:]), PR3)
+    q3 = _bdot_vc(wb(w4c[:]), PR3) + _bdot_vc(wb(w4d[:]), PLs3)
+    bb = pltpu.repeat(b4[:].reshape(-1, 1), vt, axis=0)
     q0 = jnp.maximum(q0.reshape(vt * 64, QW) + bb, 0.0)
     q1 = jnp.maximum(q1.reshape(vt * 64, QW) + bb, 0.0)
     q2 = jnp.maximum(q2.reshape(vt * 64, QW) + bb, 0.0)
     q3 = jnp.maximum(q3.reshape(vt * 64, QW) + bb, 0.0)
 
-    # conv5 in 4-phase: weighted row-selector dots on shifted planes
-    q3m, q0p = _shiftR_vc(q3.astype(od)), _shiftL_vc(q0.astype(od))
-
-    def sdot(k, h2):
-        return _dot2_vc(selw_ref[k], h2.astype(od))
-
-    r0 = sdot(0, q3m) + sdot(1, q0) + sdot(2, q1)
-    r1 = sdot(0, q0) + sdot(1, q1) + sdot(2, q2)
-    r2 = sdot(0, q1) + sdot(1, q2) + sdot(2, q3)
-    r3_ = sdot(0, q2) + sdot(1, q3) + sdot(2, q0p)
-    out = jnp.concatenate([r0, r1, r2, r3_], axis=1) + b5_2d[:]  # [VT, 4*128]
+    # conv5 N-fused: 3 selector dots over [VT*64, 512] operands — the middle
+    # operand is one concat of the four phase planes; the outer two reuse
+    # 384 of its lanes
+    Q1 = jnp.concatenate([q0, q1, q2, q3], axis=1).astype(od)
+    q3m = _shiftR_vc(q3.astype(od))
+    q0p = _shiftL_vc(q0.astype(od))
+    Q0 = jnp.concatenate([q3m, Q1[:, : 3 * QW]], axis=1)
+    Q2 = jnp.concatenate([Q1[:, QW:], q0p], axis=1)
+    out = (_dot2_vc(selw_ref[0], Q0) + _dot2_vc(selw_ref[1], Q1)
+           + _dot2_vc(selw_ref[2], Q2)) + b5_2d[:]           # [VT, 4*128]
     out_ref[0] = jax.nn.sigmoid(out / 3.0).astype(out_ref.dtype)
 
 
@@ -580,10 +630,10 @@ def fused_decode_views(folded: dict, latent_all, gates, *, v_tile: int = 16,
         # lane wide and its DMA costs ~3.9 ms/launch, docs/KERNELS.md)
         gpack = gates.reshape(B, n_vt, v_tile * 2, 128)
         selw = conv5_selectors(v_tile, folded["w5"], dtype)
-        u1e, u1o, ab3, c3 = polyphase_matrices(folded)
+        u1eo, ab_m, c01, c23, b3_2, w4a, w4b, w4c, w4d = dotfuse_operands(folded)
         m1, m2, ones128 = gate_expand_selectors(v_tile, dtype)
         kernel = functools.partial(_decoder_kernel_pp, vt=v_tile, storage_dtype=dtype)
-        weight_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 16
+        weight_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 19
         out = pl.pallas_call(
             kernel,
             grid=(B, n_vt),
@@ -601,9 +651,9 @@ def fused_decode_views(folded: dict, latent_all, gates, *, v_tile: int = 16,
                 vmem_limit_bytes=VMEM_LIMIT_BYTES,
             ),
         )(
-            latent_all, gpack, m1, m2, ones128, selw, u1e, u1o, ab3, c3,
-            folded["w1"], folded["b1"], folded["w2"], folded["b2"],
-            folded["b3"], folded["w4"], folded["b4"],
+            latent_all, gpack, m1, m2, ones128, selw, u1eo, ab_m, c01, c23,
+            folded["w1"], folded["b1"], folded["w2"], folded["b2"], b3_2,
+            w4a, w4b, w4c, w4d, folded["b4"],
             folded["b5"].reshape(1, 1),
         )
         # kernel rows are phase-blocked [e, o-of-even, ...] = out[..., 4i+r]
