@@ -151,13 +151,22 @@ def vmem_bytes_estimate(v_tile: int, storage_dtype) -> int:
     """
     s = jnp.dtype(storage_dtype).itemsize
     consts = (256 * FEAT + v_tile * 256 + v_tile * SEQ) * s
+    # resident gate selectors, whichever pipeline's set is larger at this
+    # dtype: layout A's E [VT, VT*FEAT] + T [FEAT, VT*FEAT] (f32), or the
+    # packed-gate kernel's M1 [VT*256, VT*2] + M2 [VT*256, 128] + ones
+    # [128, 128] (storage dtype) — both grow with v_tile
+    gate_sel = max(
+        (v_tile * v_tile * FEAT + FEAT * v_tile * FEAT) * 4,
+        (v_tile * 256 * (v_tile * 2 + 128) + 128 * 128) * s,
+    )
     weights = (
-        3 * (128 * 256 + 128 * 128 + 64 * 128 + 64 * 64 + 1 * 64) * s
+        # conv4 term sized for the dot-fused K=128 blocks (4 x [64, 128],
+        # upper-bounds layout A's 3 x [64, 64])
+        3 * (128 * 256 + 128 * 128 + 64 * 128 + 1 * 64) * s
+        + 4 * 64 * 128 * s
         + 3 * (FEAT * 2 * FEAT + 2 * FEAT * SEQ) * s  # [3, n, 2n] shift stacks
         + (128 + 128 + 64 + 64 + 1) * 4  # biases
-        # resident gate-selector matrices E [VT, VT*FEAT] + T [FEAT, VT*FEAT],
-        # f32 (the gate stage is f32 in both pipelines) — grows with v_tile
-        + (v_tile * v_tile * FEAT + FEAT * v_tile * FEAT) * 4
+        + gate_sel
     )
     # conv1: h/left/right [256, VT*256] + iota i32 + accum [128, VT*256] f32
     stage1 = 3 * 256 * (v_tile * 2 * FEAT) * s + (256 + 128) * (v_tile * 2 * FEAT) * 4
