@@ -77,9 +77,38 @@ def _time(fn, args, reps, rtt=0.0):
     return max(med - rtt, 0.5 * med), 100 * float(np.std(ts) / med)
 
 
+def _devices_or_die(jax, timeout_s=240):
+    """Fail fast instead of hanging forever when the axon tunnel is down.
+
+    Backend init (`jax.devices()`) blocks inside make_c_api_client with no
+    client-side timeout when the tunnel is unreachable; a hung bench run
+    reports nothing, while a loud exit says exactly what went wrong."""
+    import os
+    import sys
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            print(
+                f"bench: jax backend init did not complete in {timeout_s}s — "
+                "TPU tunnel unreachable; no metric produced",
+                file=sys.stderr, flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    devs = jax.devices()
+    done.set()
+    return devs
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _devices_or_die(jax)
 
     from electrocardio_panorama_tpu.config import get_cfg
     from electrocardio_panorama_tpu.models import build_model

@@ -6,7 +6,10 @@ minus tower"; this tool splits that region into its five components so the
 next optimization targets the right one. Row DIFFERENCES are the component
 costs (and cancel tunnel RTT).
 
-Usage: python tools/bench_encode_parts.py [f32|bf16]
+Usage: python tools/bench_encode_parts.py [f32|bf16] [K] [reps] [only_stage]
+(K defaults to 256 — sized so per-step tunnel RTT is negligible; for a CPU
+smoke run pass a small K and only_stage=reverse, which exercises the whole
+pipeline in one compile.)
 """
 
 from __future__ import annotations
@@ -20,6 +23,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def _time(fn, args, reps=5):
+    reps = int(reps)
     float(fn(*args))
     ts = []
     for _ in range(reps):
@@ -29,8 +33,16 @@ def _time(fn, args, reps=5):
     return float(np.median(ts))
 
 
-def main(mode="bf16"):
+def main(mode="bf16", k=256, reps=5, only_stage=""):
+    import os
+
     import jax
+
+    # the axon sitecustomize pins jax_platforms="axon,cpu" regardless of the
+    # env var; honor an explicit JAX_PLATFORMS=cpu so smoke runs don't hang
+    # on backend init when the TPU tunnel is unreachable
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from __graft_entry__ import _synth_batch
@@ -51,7 +63,7 @@ def main(mode="bf16"):
     model = build_model(cfg)
     params, _ = model.init(jax.random.PRNGKey(0))
 
-    B, K, L = 32, 256, 3
+    B, K, L = 32, int(k), 3
     rng = np.random.default_rng(0)
     batch = _synth_batch(rng, B=B)
     cdtype = jnp.bfloat16 if mode == "bf16" else jnp.float32
@@ -122,14 +134,15 @@ def main(mode="bf16"):
             acc, _ = jax.lax.scan(body, 0.0, ds)
             return acc
 
-        med = _time(chain, (params, datas)) / K
+        med = _time(chain, (params, datas), reps=reps) / K
         print(f"  through {name:8s}: {med*1e3:7.3f} ms/step fwd+bwd", flush=True)
         return med
 
     print(f"encode breakdown mode={mode} B={B} K={K} "
           f"(row DIFFERENCES are the component costs; RTT cancels)", flush=True)
     prev = 0.0
-    for upto in ("tower", "wconv", "zconv", "align", "z2conv2", "reverse"):
+    stages = ("tower", "wconv", "zconv", "align", "z2conv2", "reverse")
+    for upto in ((only_stage,) if only_stage else stages):
         med = run(upto, upto)
         if prev:
             print(f"      +{(med-prev)*1e3:6.3f} ms = {upto}", flush=True)
