@@ -373,6 +373,38 @@ def main():
         lats.append(max(time.perf_counter() - t0 - rtt, 0.0) / K_LAT)
     p50_ms = float(np.percentile(lats, 50) * 1e3)
 
+    # ---- host input pipeline: steady-state ms per batch-32 (record/beat
+    # caches warm — the state every epoch after the first runs in). The train
+    # step is ~2-3 ms on device, so this is the number that decides whether
+    # training is input-bound (it was 59 ms/batch before the r03 loader work).
+    def bench_loader():
+        import os
+
+        from electrocardio_panorama_tpu.data import BeatLoader, build_dataset
+
+        lcfg = get_cfg()
+        lcfg.DATA.dataset = "synthetic"
+        lcfg.DATA.lead_num = 3
+        lcfg.DATA.super_mode = "IIv2v5_v4I_372"
+        lcfg.DATA.train_data_mode = "input_fix"
+        lcfg.MODEL.jitter_factor = 2.5
+        lcfg.output_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "output", "nef_net_synthetic"
+        )
+        ds = build_dataset(lcfg, "train")
+        dl = BeatLoader(ds, 32, shuffle=True, drop_last=True, seed=1,
+                        sample_weights=[1.0] * len(ds), num_samples=3200)
+        it = iter(dl)
+        for _ in range(8):  # warm caches + epoch startup
+            next(it)
+        t0 = time.perf_counter()
+        n = 0
+        for _ in it:
+            n += 1
+        return 1e3 * (time.perf_counter() - t0) / n
+
+    host_loader_ms = bench_loader()
+
     candidates = {k: v for k, v in results.items() if not k.endswith("_error")}
     best_path = max(candidates, key=candidates.get)
     views_per_sec = candidates[best_path]
@@ -395,6 +427,7 @@ def main():
         "train_step_ms_batch32_bf16_fused_decoder": train_step_ms_bf16_fused,
         "train_step_std_pct": round(train_std, 1),
         "p50_latency_ms_24view_panorama_amortized": round(p50_ms, 3),
+        "host_loader_ms_per_batch32": round(host_loader_ms, 2),
         "tunnel_rtt_ms": round(rtt * 1e3, 1),
         "rtt_subtracted": True,
         "device": str(jax.devices()[0]),

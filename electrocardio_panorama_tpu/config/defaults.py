@@ -40,6 +40,7 @@ def get_default_cfg() -> Node:
     cfg.DATA.synthetic_n_train = 16    # corpus size when generating synthetic data
     cfg.DATA.synthetic_n_test = 8
     cfg.DATA.use_native_prep = True    # C++ beat-prep fast path (falls back to numpy)
+    cfg.DATA.record_cache = 2048       # LRU'd record arrays (~320 KB each); 0 disables
     cfg.DATA.batch_size = 32           # reference hardcodes 32 (train_net.py:27)
     cfg.DATA.num_workers = 0           # host pipeline threads (0 = synchronous)
 

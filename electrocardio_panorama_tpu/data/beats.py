@@ -42,11 +42,24 @@ def beat_rois(breakpoints: dict, beat_index: int, record_len: int) -> np.ndarray
     return rois - p_on, p_on, end_point
 
 
-def _pad_to(x: np.ndarray, length: int = SEQ_LEN) -> np.ndarray:
-    if x.shape[-1] < length:
-        pad = [(0, 0)] * (x.ndim - 1) + [(0, length - x.shape[-1])]
-        return np.pad(x, pad, mode="constant")
-    return x[..., :length]
+def prep_beat_numpy(beat12: np.ndarray, rois: np.ndarray):
+    """The rng-free prep stage, numpy path (the C++ twin is
+    native/beatprep.cpp): joint min-max normalization across leads
+    (tianchi.py:109-111), per-lead noise sigma from the 2nd half of the T->P
+    segment (tianchi.py:113-116), pad to SEQ_LEN.
+
+    beat12: [12, T] raw beat slice; rois: [7, 2] offset to beat start.
+    Returns (full12 [12, SEQ_LEN] f32, sigma [12] f32, beat_len) — a pure
+    function of its inputs, so datasets may cache the result per beat.
+    """
+    mx, mn = beat12.max(), beat12.min()
+    norm = (beat12 - mn) / (mx - mn)
+    lo = (rois[5][0] + rois[5][1]) // 2
+    sigma = np.std(norm[:, lo: rois[5][1]], axis=1).astype(np.float32)
+    full12 = np.zeros((12, SEQ_LEN), np.float32)
+    n = min(beat12.shape[-1], SEQ_LEN)
+    full12[:, :n] = norm[:, :n]
+    return full12, sigma, int(beat12.shape[-1])
 
 
 def build_meta(
@@ -59,16 +72,9 @@ def build_meta(
     record_id: str = "",
 ) -> dict:
     """beat12: [12, T] raw beat slice (T = beat length); rois: [7, 2] offset to 0."""
-    # joint min-max normalization across leads (tianchi.py:109-111)
-    mx, mn = beat12.max(), beat12.min()
-    data12 = (beat12 - mn) / (mx - mn)
-
-    # per-lead noise sigma from the 2nd half of the T->P segment (tianchi.py:113-116)
-    lo = (rois[5][0] + rois[5][1]) // 2
-    noise_region = data12[:, lo: rois[5][1]]
-    noise_std = np.std(noise_region, axis=1)
+    full12, sigma, beat_len = prep_beat_numpy(beat12, rois)
     return assemble_meta(
-        data12, noise_std, data12.shape[-1], rois,
+        full12, sigma, beat_len, rois,
         cfg=cfg, phase=phase, rng=rng, record_id=record_id,
     )
 
@@ -86,9 +92,21 @@ def assemble_meta(
 ) -> dict:
     """Second stage shared by the numpy and native (C++) preprocessing paths:
     data12 is already normalized (padded or unpadded); noise_std is the
-    per-lead sigma; beat_len the true (unpadded) beat length."""
-    noise = rng.normal(loc=0.0, scale=noise_std, size=(beat_len, 12))
+    per-lead sigma; beat_len the true (unpadded) beat length.
 
+    When data12 is already f32 and SEQ_LEN wide (the native prep output, or a
+    dataset's prepped-beat cache entry) it is shared into the meta dict
+    without a copy, and several meta values are row views of the same array —
+    so meta arrays must be treated as read-only until collate's np.stack
+    copies them out (nothing downstream mutates them in place).
+
+    Draw order within the per-example rng stream is jitter -> lead partition
+    -> target choice -> noise-of-target. The reference draws the full
+    (beat_len, 12) noise matrix first and keeps one column
+    (tianchi.py:113-116); sampling only the consumed column is
+    distributionally identical and ~12x less normal generation — the
+    per-(seed, epoch, position) determinism contract is unchanged.
+    """
     # viewpoint-angle jitter, train only (tianchi.py:77-82,119-121)
     theta = LEAD_THETA
     if cfg.MODEL.jitter_factor > 0 and phase == "train":
@@ -102,20 +120,35 @@ def assemble_meta(
         rest = list(supervision)
     else:
         rest = [x for x in supervision if x not in select]
-    target_index = int(rng.choice(rest))
+    target_index = rest[int(rng.integers(len(rest)))]  # uniform; ~4x cheaper than rng.choice
     rest = rest + unsup  # unsupervised leads appended at the END (tianchi.py:194)
 
+    # one padded f32 image of the full 12-lead beat; every view/target/ori key
+    # below is a row slice of it (replaces five separate pad+astype passes)
+    if data12.dtype == np.float32 and data12.shape[-1] == SEQ_LEN:
+        full12 = data12
+    else:
+        full12 = np.zeros((12, SEQ_LEN), np.float32)
+        n = min(data12.shape[-1], SEQ_LEN)
+        full12[:, :n] = data12[:, :n]
+
+    # per-lead noise sigma Gaussian over the true beat length, target lead only
+    noise = np.zeros(SEQ_LEN, np.float32)
+    nb = min(int(beat_len), SEQ_LEN)
+    noise[:nb] = rng.normal(0.0, float(noise_std[target_index]), size=nb)
+
+    theta32 = theta.astype(np.float32)
     meta = {
-        "data": _pad_to(data12[select]).astype(np.float32),
-        "rois": rois.astype(np.int64),
-        "input_theta": theta[select].astype(np.float32),
-        "target_view": _pad_to(data12[target_index]).astype(np.float32),
-        "target_theta": theta[target_index].astype(np.float32),
+        "data": full12[select],
+        "rois": np.asarray(rois, np.int64),
+        "input_theta": theta32[select],
+        "target_view": full12[target_index],
+        "target_theta": theta32[target_index],
         "id": record_id,
-        "ori_data": _pad_to(data12).astype(np.float32),
-        "rest_view": _pad_to(data12[rest]).astype(np.float32),
-        "rest_theta": theta[rest].astype(np.float32),
-        "noise": _pad_to(noise[:, target_index]).astype(np.float32),
+        "ori_data": full12,
+        "rest_view": full12[rest],
+        "rest_theta": theta32[rest],
+        "noise": noise,
         "unsupervision_lead_name": list(unsup),
     }
     return meta

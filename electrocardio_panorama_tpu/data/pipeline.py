@@ -139,7 +139,12 @@ class BeatLoader:
                 if pending is not None:
                     yield pending.result()
             finally:
-                pool.shutdown(wait=False, cancel_futures=True)
+                try:
+                    pool.shutdown(wait=False, cancel_futures=True)
+                except Exception:
+                    # generator GC'd during interpreter teardown: the queue
+                    # module backing the pool may already be torn down
+                    pass
         else:
             for lo, hi in spans:
                 yield collate([

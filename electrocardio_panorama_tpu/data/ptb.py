@@ -15,7 +15,9 @@ import pickle
 
 import numpy as np
 
-from electrocardio_panorama_tpu.data.beats import build_meta
+from collections import OrderedDict
+
+from electrocardio_panorama_tpu.data.beats import assemble_meta, prep_beat_numpy
 
 
 def reorder_ptb_leads(source: np.ndarray) -> np.ndarray:
@@ -59,16 +61,31 @@ class PTBBeatDataset:
             os.makedirs(os.path.dirname(pkl_path) or ".", exist_ok=True)
             with open(pkl_path, "wb") as f:
                 pickle.dump(self.beats, f, pickle.HIGHEST_PROTOCOL)
+        # prepped-beat LRU, same rationale and knob as TianchiBeatDataset:
+        # reorder/normalize/sigma/pad is a pure function of the beat index
+        self._prep_cache: OrderedDict[int, tuple] = OrderedDict()
+        self._prep_cache_size = int(getattr(cfg.DATA, "beat_cache", 8192))
 
     def __len__(self) -> int:
         return len(self.beats)
 
     def __getitem__(self, index: int, rng: np.random.Generator | None = None) -> dict:
         rng = rng or np.random.default_rng()
-        entry = self.beats[index]
-        data, rois = (entry.data, entry.rois_list) if hasattr(entry, "data") else entry
-        data12 = reorder_ptb_leads(np.asarray(data))
-        return build_meta(
-            data12, np.asarray(rois), cfg=self.cfg, phase=self.phase, rng=rng,
-            record_id=f"ptb_{index}",
+        hit = self._prep_cache.get(index)
+        if hit is None:
+            entry = self.beats[index]
+            data, rois = (entry.data, entry.rois_list) if hasattr(entry, "data") else entry
+            rois = np.asarray(rois)
+            data12 = reorder_ptb_leads(np.asarray(data))
+            hit = (*prep_beat_numpy(data12, rois), rois)
+            if self._prep_cache_size > 0:
+                self._prep_cache[index] = hit
+                while len(self._prep_cache) > self._prep_cache_size:
+                    self._prep_cache.popitem(last=False)
+        else:
+            self._prep_cache.move_to_end(index)
+        full12, sigma, beat_len, rois = hit
+        return assemble_meta(
+            full12, sigma, beat_len, rois, cfg=self.cfg, phase=self.phase,
+            rng=rng, record_id=f"ptb_{index}",
         )

@@ -18,10 +18,15 @@ from __future__ import annotations
 
 import json
 import os
+from collections import OrderedDict
 
 import numpy as np
 
-from electrocardio_panorama_tpu.data.beats import beat_rois, build_meta
+from electrocardio_panorama_tpu.data.beats import (
+    assemble_meta,
+    beat_rois,
+    prep_beat_numpy,
+)
 from electrocardio_panorama_tpu.data.leads import derive_augmented_leads
 
 
@@ -37,14 +42,37 @@ class TianchiBeatDataset:
         self.data_root = cfg.DATA.train_data_root
         self.label_root = cfg.DATA.train_label_root
         self._label_cache: dict[str, dict] = {}
+        # Bounded LRU of float64 record arrays. The profiler showed np.load +
+        # header parse + astype was ~45% of loader time (each __getitem__
+        # loaded its record twice: num_beats + get_beat); a (8, 5000) f64
+        # record is 320 KB, so the default 2048-record cache tops out ~650 MB.
+        # Consumers never mutate the cached array (native prep takes const
+        # input; the numpy path derives into fresh arrays).
+        self._record_cache: OrderedDict[str, np.ndarray] = OrderedDict()
+        self._record_cache_size = int(getattr(cfg.DATA, "record_cache", 2048))
+        # Prepped-beat LRU: the derive/normalize/sigma stage is a pure function
+        # of (record, beat_index) — across a 150-epoch run the same beat is
+        # re-prepped thousands of times while only the rng-driven assembly
+        # (jitter/partition/target/noise) differs. One entry is a padded
+        # [12, 512] f32 + sigma ≈ 25 KB, so the default 8192 tops out ~200 MB.
+        self._beat_cache: OrderedDict[tuple, tuple] = OrderedDict()
+        self._beat_cache_size = int(getattr(cfg.DATA, "beat_cache", 8192))
 
     def __len__(self) -> int:
         return len(self.records)
 
     def _load(self, name: str):
-        data = np.load(
-            os.path.join(self.data_root, name.replace(".json", ".npy"))
-        ).astype(np.float64)
+        data = self._record_cache.get(name)
+        if data is None:
+            data = np.load(
+                os.path.join(self.data_root, name.replace(".json", ".npy"))
+            ).astype(np.float64)
+            if self._record_cache_size > 0:
+                self._record_cache[name] = data
+                while len(self._record_cache) > self._record_cache_size:
+                    self._record_cache.popitem(last=False)
+        else:
+            self._record_cache.move_to_end(name)
         if name not in self._label_cache:
             with open(os.path.join(self.label_root, name)) as f:
                 self._label_cache[name] = json.loads(f.read())
@@ -56,11 +84,30 @@ class TianchiBeatDataset:
 
     def get_beat(self, index: int, beat_index: int, rng: np.random.Generator) -> dict:
         name = self.records[index]
+        key = (name, beat_index)
+        hit = self._beat_cache.get(key)
+        if hit is None:
+            hit = self._prep_beat(name, beat_index)
+            if self._beat_cache_size > 0:
+                self._beat_cache[key] = hit
+                while len(self._beat_cache) > self._beat_cache_size:
+                    self._beat_cache.popitem(last=False)
+        else:
+            self._beat_cache.move_to_end(key)
+        out12, sigma, beat_len, rois = hit
+        return assemble_meta(
+            out12, sigma, beat_len, rois,
+            cfg=self.cfg, phase=self.phase, rng=rng, record_id=name,
+        )
+
+    def _prep_beat(self, name: str, beat_index: int):
+        """The rng-free prep stage: (padded [12,512] f32, sigma [12], beat_len,
+        rois [7,2]) for one beat. Cached — consumers must not mutate."""
         data8, label = self._load(name)
         rois, p_on, end_point = beat_rois(label, beat_index, data8.shape[-1])
+        beat_len = int(end_point - p_on)
         if getattr(self.cfg.DATA, "use_native_prep", True):
             from electrocardio_panorama_tpu.data import native
-            from electrocardio_panorama_tpu.data.beats import assemble_meta
 
             prepped = native.prep_beat(
                 data8, p_on, end_point,
@@ -68,15 +115,11 @@ class TianchiBeatDataset:
             ) if native.available() else None
             if prepped is not None:
                 out12, sigma = prepped
-                return assemble_meta(
-                    out12, sigma, int(end_point - p_on), rois,
-                    cfg=self.cfg, phase=self.phase, rng=rng, record_id=name,
-                )
+                return out12, sigma, beat_len, rois
+        # numpy fallback: derive + slice + joint min-max + sigma (tianchi.py:88-116)
         data12 = derive_augmented_leads(data8)
-        beat = data12[:, p_on:end_point]
-        return build_meta(
-            beat, rois, cfg=self.cfg, phase=self.phase, rng=rng, record_id=name
-        )
+        out12, sigma, _ = prep_beat_numpy(data12[:, p_on:end_point], rois)
+        return out12, sigma, beat_len, rois
 
     def __getitem__(self, index: int, rng: np.random.Generator | None = None) -> dict:
         rng = rng or np.random.default_rng()

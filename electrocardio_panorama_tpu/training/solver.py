@@ -317,15 +317,12 @@ class Solver:
                     params, bn_state, opt_state, step_rng,
                     jnp.asarray(i1), jnp.asarray(i2), *arrays,
                 )
-                lnp = np.asarray(lvec)
-                if cfg.TPU.check_nans and not np.isfinite(lnp).all():
-                    # failure detection: surface divergence with enough context
-                    # to resume from the last epoch checkpoint
-                    raise FloatingPointError(
-                        f"non-finite loss at epoch {epoch} step {step_i}: {lnp.tolist()} "
-                        f"(resume from the last epoch checkpoint in {self.output_dir})"
-                    )
-                losses.append(lnp)
+                # keep lvec on device: pulling it here would block the host on
+                # a device->host sync EVERY step (one tunnel RTT on axon), and
+                # serialize batch assembly with device compute. Steps chain on
+                # device through the donated params; the host runs ahead
+                # building batches. The NaN guard moves to epoch end.
+                losses.append(lvec)
             else:
                 arrays = self._shard_batch((
                     jnp.asarray(batch["data"]), jnp.asarray(batch["input_theta"]),
@@ -336,14 +333,30 @@ class Solver:
                 out, rest_out, lvec, met4, single = self._eval_step(
                     params, bn_state, *arrays
                 )
-                losses.append(np.asarray(lvec))
-                metrics_all.append(np.asarray(met4))
+                # device-resident until epoch end (same no-per-step-sync rule
+                # as the train branch)
+                losses.append(lvec)
+                metrics_all.append(met4)
                 if single.shape[0]:
-                    singlelead.append(np.asarray(single))
+                    singlelead.append(single)
+
+        # ONE device->host sync for the whole epoch
+        losses_np = np.asarray(jnp.stack(losses)) if losses else np.empty((0,))
+        if phase == "train" and cfg.TPU.check_nans and losses:
+            finite = np.isfinite(losses_np).all(axis=tuple(range(1, losses_np.ndim)))
+            if not finite.all():
+                # failure detection: surface divergence with enough context
+                # to resume from the last epoch checkpoint
+                bad = int(np.argmax(~finite))
+                raise FloatingPointError(
+                    f"non-finite loss at epoch {epoch} step {bad}: "
+                    f"{losses_np[bad].tolist()} (resume from the last epoch "
+                    f"checkpoint in {self.output_dir})"
+                )
         result = {
-            "losses": np.asarray(losses),
-            "metrics": np.asarray(metrics_all) if metrics_all else None,
-            "singlelead": np.asarray(singlelead) if singlelead else None,
+            "losses": losses_np,
+            "metrics": np.asarray(jnp.stack(metrics_all)) if metrics_all else None,
+            "singlelead": np.asarray(jnp.stack(singlelead)) if singlelead else None,
             "params": params, "bn_state": bn_state, "opt_state": opt_state, "rng": rng,
         }
         return result

@@ -193,6 +193,33 @@ def test_threaded_loader_matches_synchronous(synthetic_cfg):
         np.testing.assert_array_equal(a["noise"], b["noise"])
 
 
+def test_beat_and_record_caches_transparent(synthetic_cfg):
+    """The record/prepped-beat LRU caches must be behavior-invisible: a
+    dataset with caching disabled produces byte-identical metas, both on the
+    native-prep and numpy-fallback paths, and repeated hits of the same beat
+    don't corrupt cached buffers (meta arrays may alias the cache)."""
+    for native in (True, False):
+        cfg = synthetic_cfg.clone()
+        cfg.DATA.use_native_prep = native
+        ds_cached = build_dataset(cfg, "train")
+        cfg2 = cfg.clone()
+        cfg2.DATA.record_cache = 0
+        cfg2.DATA.beat_cache = 0
+        ds_cold = build_dataset(cfg2, "train")
+        assert ds_cold._beat_cache_size == 0
+        for index in (0, 3):
+            for draw in range(3):  # same beat repeatedly -> cache hits
+                rng_a = np.random.default_rng([11, draw, index])
+                rng_b = np.random.default_rng([11, draw, index])
+                a = ds_cached.__getitem__(index, rng=rng_a)
+                b = ds_cold.__getitem__(index, rng=rng_b)
+                for k in ("data", "rois", "input_theta", "target_view",
+                          "target_theta", "ori_data", "rest_view",
+                          "rest_theta", "noise"):
+                    np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+        assert len(ds_cached._beat_cache) > 0 and len(ds_cold._beat_cache) == 0
+
+
 def test_reference_shipped_yml_loads_unchanged():
     """The reference's own config file (codes/config/nef_net.yml) must merge
     into our config tree without edits — key schema + type compatibility."""

@@ -27,6 +27,7 @@ def test_native_builds_and_loads():
 
 
 def test_native_matches_numpy_path(cfg):
+    cfg.DATA.beat_cache = 0  # cache would serve the first path's prep to the second
     ds = build_dataset(cfg, "train")
     for idx in range(3):
         cfg.DATA.use_native_prep = True
