@@ -76,7 +76,10 @@ def get_default_cfg() -> Node:
     cfg.TPU.compute_dtype = "float32"  # "bfloat16" for throughput mode
     cfg.TPU.steps_per_epoch = 0        # 0 = full pass over the dataset
     cfg.TPU.profile_dir = ""           # non-empty => jax.profiler traces
-    cfg.TPU.check_nans = True          # per-step loss-finiteness guard
+    cfg.TPU.check_nans = True          # loss-finiteness guard, checked once per
+                                       # epoch on the stacked step losses (a
+                                       # per-step check would sync the device
+                                       # every step)
     cfg.TPU.checkpoint_backend = "pickle"  # "pickle" (reference-parity) | "orbax"
     # eval/val rest-view decoder: "auto" rides the fused Pallas kernel on TPU
     # and the XLA decoder elsewhere; force "xla" | "fused" (f32, full

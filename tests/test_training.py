@@ -82,6 +82,33 @@ def test_train_two_epochs_and_resume(cfg):
     assert np.isfinite(m["psnr_gen"]) and np.isfinite(m["ssim_gen"])
 
 
+def test_nan_guard_raises_with_step_context(cfg):
+    """Failure detection: a non-finite step loss must surface as a
+    FloatingPointError naming the offending step and the resume path. The
+    guard runs once per epoch on the stacked device-resident losses (no
+    per-step device sync), so a step-2 NaN is reported at epoch end."""
+    train_ds = build_dataset(cfg, "train")
+    dl_tr = BeatLoader(train_ds, cfg.DATA.batch_size, shuffle=True, drop_last=True, seed=1)
+    c = cfg.clone()
+    c.TPU.steps_per_epoch = 4
+    solver = Solver(c, use_writer=False)
+    params, bn_state = solver.model.init(jax.random.PRNGKey(0))
+    calls = {"n": 0}
+
+    def poisoned_step(params, bn_state, opt_state, step_rng, i1, i2, *arrays):
+        lvec = np.full((4,), np.nan, np.float32) if calls["n"] == 2 else np.zeros((4,), np.float32)
+        calls["n"] += 1
+        return params, bn_state, opt_state, lvec
+
+    solver._train_step = poisoned_step
+    with pytest.raises(FloatingPointError, match="step 2"):
+        solver.run_one_epoch(
+            dl_tr, "train", epoch=0, params=params, bn_state=bn_state,
+            opt_state={}, rng=jax.random.PRNGKey(1),
+        )
+    assert calls["n"] == 4  # guard fires at epoch end, not mid-epoch
+
+
 @pytest.mark.parametrize("impl", ["threefry2x32", "rbg"])
 def test_rng_impl_train_determinism(cfg, tmp_path, impl):
     """Both TPU.rng_impl choices train to finite params, deterministically

@@ -16,9 +16,12 @@ Run: python tools/bench_loader.py [--profile]
 from __future__ import annotations
 
 import cProfile
+import os
 import pstats
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
