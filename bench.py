@@ -93,9 +93,18 @@ def _devices_or_die(jax, timeout_s=240):
         if not done.wait(timeout_s):
             print(
                 f"bench: jax backend init did not complete in {timeout_s}s — "
-                "TPU tunnel unreachable; no metric produced",
+                "TPU tunnel unreachable",
                 file=sys.stderr, flush=True,
             )
+            # still emit the one-JSON-line contract so the run is recorded as
+            # an infrastructure outage, not an absent/undefined benchmark
+            print(json.dumps({
+                "metric": "panorama_views_per_sec_per_chip",
+                "value": None,
+                "unit": "views/s",
+                "vs_baseline": None,
+                "error": f"TPU tunnel unreachable (backend init hung {timeout_s}s)",
+            }), flush=True)
             os._exit(3)
 
     threading.Thread(target=watchdog, daemon=True).start()
