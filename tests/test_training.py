@@ -172,6 +172,39 @@ def test_checkpoint_loads_reference_torch_pkl(tmp_path):
     assert extras["epoch"] == 7
 
 
+def test_export_torch_pkl_roundtrip(tmp_path):
+    """Export (this framework -> reference torch .pkl) must be the exact
+    inverse of the importer: re-importing the exported file reproduces the
+    param/state pytrees bit-for-bit, the payload carries extras like the
+    reference CheckPointer's, and integer BN counters stay integer (torch
+    load_state_dict requires Long num_batches_tracked). The strict-load +
+    forward-parity check against the actual reference model lives in
+    tools/export_torch_ckpt.py --check."""
+    import torch
+
+    from electrocardio_panorama_tpu.models import NefNetDef
+    from electrocardio_panorama_tpu.training.torch_import import export_torch_pkl
+
+    model = NefNetDef(3)
+    params, state = model.init(jax.random.PRNGKey(3))
+    path = str(tmp_path / "exported.pkl")
+    export_torch_pkl(path, params, state, epoch=9, best_test_psnr_gen=21.5)
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    assert payload["epoch"] == 9 and payload["best_test_psnr_gen"] == 21.5
+    counters = [k for k in payload["model"] if k.endswith("num_batches_tracked")]
+    assert counters and all(payload["model"][k].dtype == torch.int64 for k in counters)
+
+    ckpt = CheckPointer(str(tmp_path))
+    p2, s2, _, extras = ckpt.load(resume=path)
+    assert extras["epoch"] == 9
+    assert set(p2) == set(params) and set(s2) == set(state)
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(p2[k]), np.asarray(params[k]), err_msg=k)
+    for k in state:
+        np.testing.assert_array_equal(np.asarray(s2[k]), np.asarray(state[k]), err_msg=k)
+
+
 def test_solver_with_mesh_dp(tmp_path):
     """Solver GSPMD data-parallel path (cfg.TPU.mesh_shape): params replicated,
     batch sharded over the 8-device mesh — the dense_sweep_v5e8.yml route."""
