@@ -385,34 +385,24 @@ def main():
     # ---- host input pipeline: steady-state ms per batch-32 (record/beat
     # caches warm — the state every epoch after the first runs in). The train
     # step is ~2-3 ms on device, so this is the number that decides whether
-    # training is input-bound (it was 59 ms/batch before the r03 loader work).
-    def bench_loader():
+    # training is input-bound (26 ms/batch before the r03 loader work; ~2.6
+    # after, measured on an idle host).
+    # Recipe shared with tools/bench_loader.py; guarded so a host-side failure
+    # (corpus regeneration, filesystem) can't take down the device metrics,
+    # and any dataset-build chatter goes to stderr to keep the one-JSON-line
+    # stdout contract.
+    try:
+        import contextlib
         import os
+        import sys
 
-        from electrocardio_panorama_tpu.data import BeatLoader, build_dataset
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools.bench_loader import measure as _loader_measure
 
-        lcfg = get_cfg()
-        lcfg.DATA.dataset = "synthetic"
-        lcfg.DATA.lead_num = 3
-        lcfg.DATA.super_mode = "IIv2v5_v4I_372"
-        lcfg.DATA.train_data_mode = "input_fix"
-        lcfg.MODEL.jitter_factor = 2.5
-        lcfg.output_dir = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "output", "nef_net_synthetic"
-        )
-        ds = build_dataset(lcfg, "train")
-        dl = BeatLoader(ds, 32, shuffle=True, drop_last=True, seed=1,
-                        sample_weights=[1.0] * len(ds), num_samples=3200)
-        it = iter(dl)
-        for _ in range(8):  # warm caches + epoch startup
-            next(it)
-        t0 = time.perf_counter()
-        n = 0
-        for _ in it:
-            n += 1
-        return 1e3 * (time.perf_counter() - t0) / n
-
-    host_loader_ms = bench_loader()
+        with contextlib.redirect_stdout(sys.stderr):
+            host_loader_ms = round(_loader_measure(0, batches=100), 2)
+    except Exception as e:  # noqa: BLE001 — report instead of aborting the bench
+        host_loader_ms = f"error: {str(e)[:80]}"
 
     candidates = {k: v for k, v in results.items() if not k.endswith("_error")}
     best_path = max(candidates, key=candidates.get)
@@ -436,7 +426,7 @@ def main():
         "train_step_ms_batch32_bf16_fused_decoder": train_step_ms_bf16_fused,
         "train_step_std_pct": round(train_std, 1),
         "p50_latency_ms_24view_panorama_amortized": round(p50_ms, 3),
-        "host_loader_ms_per_batch32": round(host_loader_ms, 2),
+        "host_loader_ms_per_batch32": host_loader_ms,
         "tunnel_rtt_ms": round(rtt * 1e3, 1),
         "rtt_subtracted": True,
         "device": str(jax.devices()[0]),

@@ -41,6 +41,7 @@ def get_default_cfg() -> Node:
     cfg.DATA.synthetic_n_test = 8
     cfg.DATA.use_native_prep = True    # C++ beat-prep fast path (falls back to numpy)
     cfg.DATA.record_cache = 2048       # LRU'd record arrays (~320 KB each); 0 disables
+    cfg.DATA.beat_cache = 8192         # LRU'd prepped beats (~25 KB each); 0 disables
     cfg.DATA.batch_size = 32           # reference hardcodes 32 (train_net.py:27)
     cfg.DATA.num_workers = 0           # host pipeline threads (0 = synchronous)
 

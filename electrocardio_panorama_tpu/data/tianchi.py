@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from collections import OrderedDict
 
 import numpy as np
@@ -57,25 +58,33 @@ class TianchiBeatDataset:
         # [12, 512] f32 + sigma ≈ 25 KB, so the default 8192 tops out ~200 MB.
         self._beat_cache: OrderedDict[tuple, tuple] = OrderedDict()
         self._beat_cache_size = int(getattr(cfg.DATA, "beat_cache", 8192))
+        # BeatLoader(num_threads>1) calls __getitem__ from a worker pool;
+        # get->move_to_end vs insert->evict on an OrderedDict race without a
+        # lock (cache VALUES are immutable, so only the dict ops need it —
+        # prep work itself runs outside the lock)
+        self._cache_lock = threading.Lock()
 
     def __len__(self) -> int:
         return len(self.records)
 
     def _load(self, name: str):
-        data = self._record_cache.get(name)
+        with self._cache_lock:
+            data = self._record_cache.get(name)
+            if data is not None:
+                self._record_cache.move_to_end(name)
         if data is None:
             data = np.load(
                 os.path.join(self.data_root, name.replace(".json", ".npy"))
             ).astype(np.float64)
             if self._record_cache_size > 0:
-                self._record_cache[name] = data
-                while len(self._record_cache) > self._record_cache_size:
-                    self._record_cache.popitem(last=False)
-        else:
-            self._record_cache.move_to_end(name)
+                with self._cache_lock:
+                    self._record_cache[name] = data
+                    while len(self._record_cache) > self._record_cache_size:
+                        self._record_cache.popitem(last=False)
         if name not in self._label_cache:
             with open(os.path.join(self.label_root, name)) as f:
-                self._label_cache[name] = json.loads(f.read())
+                label = json.loads(f.read())
+            self._label_cache[name] = label
         return data, self._label_cache[name]
 
     def num_beats(self, index: int) -> int:
@@ -85,15 +94,17 @@ class TianchiBeatDataset:
     def get_beat(self, index: int, beat_index: int, rng: np.random.Generator) -> dict:
         name = self.records[index]
         key = (name, beat_index)
-        hit = self._beat_cache.get(key)
+        with self._cache_lock:
+            hit = self._beat_cache.get(key)
+            if hit is not None:
+                self._beat_cache.move_to_end(key)
         if hit is None:
             hit = self._prep_beat(name, beat_index)
             if self._beat_cache_size > 0:
-                self._beat_cache[key] = hit
-                while len(self._beat_cache) > self._beat_cache_size:
-                    self._beat_cache.popitem(last=False)
-        else:
-            self._beat_cache.move_to_end(key)
+                with self._cache_lock:
+                    self._beat_cache[key] = hit
+                    while len(self._beat_cache) > self._beat_cache_size:
+                        self._beat_cache.popitem(last=False)
         out12, sigma, beat_len, rois = hit
         return assemble_meta(
             out12, sigma, beat_len, rois,

@@ -3,12 +3,16 @@
 The TPU train step is ~2.3 ms at batch 32 (bf16), so the loader decides
 training throughput (reference hides this behind 16 worker processes,
 train_net.py:27; this host has ONE core). Measured history at threads=0,
-steady state (record/beat caches warm):
+steady state (record/beat caches warm), IDLE host — numbers measured while
+a pytest suite shared the single core read 59 -> 6.9 ms and overstated both
+sides; always measure alone:
 
-  r03 pre-optimization   59.3 ms/batch   (np.load x2 per example 45%,
+  r03 pre-optimization   26.1 ms/batch   (np.load x2 per example ~45%,
                                           full-matrix noise, np.pad stack)
   + record/beat LRU caches, single-lead noise, one-pass f32 assembly
-                          ~6.9 ms/batch   (8.6x)
+                           2.6 ms/batch   (10.2x) — at parity with the
+                                          2.3 ms device step: training is
+                                          no longer input-bound
 
 Run: python tools/bench_loader.py [--profile]
 """
@@ -23,20 +27,20 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-
-# the axon sitecustomize pins jax_platforms="axon,cpu"; force CPU so this
-# bench never blocks on a dead TPU tunnel (see tests/conftest.py)
-jax.config.update("jax_platforms", "cpu")
-
 from electrocardio_panorama_tpu.config import get_cfg  # noqa: E402
 from electrocardio_panorama_tpu.data import BeatLoader, build_dataset  # noqa: E402
 
 
 def make_loader(num_threads: int):
+    """The canonical loader-bench recipe (bench.py reuses it): the shipped
+    3-lead training config over the repo's synthetic corpus, weighted-sampler
+    epochs like real training."""
     cfg = get_cfg()
     cfg.DATA.dataset = "synthetic"
-    cfg.output_dir = "output/nef_net_synthetic"
+    cfg.output_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "output", "nef_net_synthetic",
+    )
     cfg.DATA.lead_num = 3
     cfg.DATA.super_mode = "IIv2v5_v4I_372"
     cfg.DATA.train_data_mode = "input_fix"
@@ -66,6 +70,13 @@ def measure(num_threads: int, batches: int = 80) -> float:
 
 
 def main() -> None:
+    # the axon sitecustomize pins jax_platforms="axon,cpu"; force CPU so this
+    # standalone bench never blocks on a dead TPU tunnel (tests/conftest.py
+    # pattern). Done here, not at module level: bench.py imports make_loader/
+    # measure and must keep its axon backend.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     if "--profile" in sys.argv:
         dl = make_loader(0)
         it = iter(dl)

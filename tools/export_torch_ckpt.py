@@ -34,13 +34,15 @@ jax.config.update("jax_platforms", "cpu")  # conversion tool; never touch the TP
 
 
 def load_native(path: str):
+    """Read a framework checkpoint (training/checkpoint.py payload keys:
+    model / bn_state / optimizer / extras)."""
     import pickle
 
     with open(path, "rb") as f:
         payload = pickle.load(f)
     extras = {k: v for k, v in payload.items()
-              if k not in ("model", "state", "optimizer", "scheduler")}
-    return payload["model"], payload.get("state", {}), extras
+              if k not in ("model", "bn_state", "optimizer", "scheduler")}
+    return payload["model"], payload.get("bn_state", {}), extras
 
 
 def main() -> None:
