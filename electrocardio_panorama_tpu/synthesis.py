@@ -99,10 +99,15 @@ class PanoramaGenerator:
         for bi, batch in enumerate(loader):
             if max_batches is not None and bi >= max_batches:
                 break
-            pano = self.render(batch["data"], batch["input_theta"], batch["rois"], views)
-            outs.append(np.asarray(pano, np.float32))
+            # keep the device array: pulling it here would serialize batch
+            # assembly with device compute (one D2H round-trip per batch);
+            # all launches dispatch back-to-back and transfer at the end
+            outs.append(self.render(batch["data"], batch["input_theta"], batch["rois"], views))
             rois_all.append(batch["rois"])
-        rest_out = np.concatenate(outs) if outs else np.zeros((0, len(views), 512), np.float32)
+        rest_out = (
+            np.concatenate([np.asarray(o, np.float32) for o in outs])
+            if outs else np.zeros((0, len(views), 512), np.float32)
+        )
         rois_cat = np.concatenate(rois_all) if rois_all else np.zeros((0, 7, 2), np.int64)
         if out_path:
             os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
@@ -176,12 +181,13 @@ class GaussianLatentPrior:
                 break
             z1, z2 = enc(params, jnp.asarray(batch["data"]),
                          jnp.asarray(batch["input_theta"]), jnp.asarray(batch["rois"]))
-            z1s.append(np.asarray(z1))
-            z2s.append(np.asarray(z2))
+            # device-resident until after the loop (no per-batch D2H sync)
+            z1s.append(z1)
+            z2s.append(z2)
             if rois is None:
                 rois = batch["rois"][0]
-        z1 = np.concatenate(z1s)
-        z2 = np.concatenate(z2s)
+        z1 = np.concatenate([np.asarray(z) for z in z1s])
+        z2 = np.concatenate([np.asarray(z) for z in z2s])
         eps = 1e-6
         return cls(z1.mean(0), z1.std(0) + eps, z2.mean(0), z2.std(0) + eps, rois)
 
