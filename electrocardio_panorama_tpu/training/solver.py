@@ -5,7 +5,7 @@ TPU-native restructuring of the reference's per-batch loop:
     the reference's forward/backward/step trio (solver.py:171-235) compiles to
     a single XLA program;
   * one jitted `eval_step` returning outputs, losses, and on-device masked
-    PSNR; SSIM runs on host (scipy) like the reference's skimage path;
+    PSNR + SSIM (the scipy SSIM stays as the oracle in training/metrics.py);
   * device policy: params replicated / batch sharded over a `jax.sharding.Mesh`
     when cfg.TPU.mesh_shape is set — the DataParallel replacement
     (solver.py:29-40) with XLA-inserted gradient reductions over ICI;
