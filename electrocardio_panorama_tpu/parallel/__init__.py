@@ -7,7 +7,9 @@ from electrocardio_panorama_tpu.parallel.mesh import (
 )
 from electrocardio_panorama_tpu.parallel.sharding import (
     build_dp_train_step,
+    build_lead_parallel_panorama,
     build_sharded_panorama,
+    lead_param_specs,
 )
 
 __all__ = [
@@ -17,5 +19,7 @@ __all__ = [
     "put_replicated",
     "put_batch",
     "build_dp_train_step",
+    "build_lead_parallel_panorama",
     "build_sharded_panorama",
+    "lead_param_specs",
 ]

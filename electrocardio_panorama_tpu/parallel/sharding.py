@@ -11,6 +11,15 @@ Panorama (sp over views): the dense viewpoint sweep shards on the `view` axis â€
 every device decodes a slice of the viewpoints from the (replicated) latent;
 outputs concatenate along the view axis. No collectives in the math: views are
 independent after encoding (SURVEY.md section 5, long-context equivalent).
+
+Lead tensor parallelism (tp): every per-lead-grouped weight (the encoder
+tower, w_conv, z1_conv, z2_conv1, z2_conv2 â€” all lead-major on axis 0 by
+construction, models/blocks.py) shards across the `lead` axis together with
+the input's lead dimension; each device encodes only its lead slice and the
+lead-mean of z1/z2 (model_nefnet.py:146-151) becomes the single psum of the
+whole encode. The decoder/MLP weights replicate (they are lead-independent).
+This is the SURVEY section 2.3 "shard the lead/group axis" equivalence â€” the
+grouped convs are embarrassingly parallel across leads.
 """
 
 from __future__ import annotations
@@ -162,6 +171,84 @@ def build_sharded_panorama(model_def, mesh: Mesh, *, data_axis: str = "data",
         mesh=mesh,
         in_specs=(rep, rep, P(data_axis), P(data_axis), P(data_axis), P(view_axis)),
         out_specs=P(data_axis, view_axis),
+        check_vma=False,
+    )
+    return jax.jit(render)
+
+
+# Param-name prefixes whose leaves are per-lead-grouped, lead-major on axis 0
+# (models/nefnet.py::init_nefnet + models/blocks.py): out-channel blocks of
+# 128 (z-convs / encoder) or 128*7 (z2_conv2's segment-folded groups) per lead.
+_LEAD_PREFIXES = ("W_encoder.", "w_conv.", "z1_conv.", "z2_conv1.", "z2_conv2.")
+
+
+def lead_param_specs(params, lead_num: int, lead_axis: str = "lead"):
+    """PartitionSpec tree for lead tensor parallelism: per-lead-grouped leaves
+    shard axis 0 on `lead_axis`; everything else (decoder, mlp gates, the dead
+    w_feature_extractor) replicates."""
+    def spec(name, v):
+        if name.startswith(_LEAD_PREFIXES):
+            assert v.shape[0] % lead_num == 0, (name, v.shape, lead_num)
+            return P(lead_axis)
+        return P()
+
+    return {k: spec(k, v) for k, v in params.items()}
+
+
+def build_lead_parallel_panorama(model_def, mesh: Mesh, *, lead_axis: str = "lead",
+                                 view_axis: str | None = None):
+    """Tensor-parallel panorama: encoder weights AND activations sharded over
+    the lead axis, one psum to form the latent, then a (optionally
+    view-sharded) batched decode.
+
+    Each device holds L/n leads' encoder/z-conv weights (`lead_param_specs`)
+    and the matching slice of `data`/`input_theta` [B, L, ...]; it runs the
+    full encode on its slice (every op is grouped per lead, so the math is
+    exactly the L_local-lead model), and the reference's mean over leads
+    (model_nefnet.py:146-151) is recovered as psum(local_sum)/L â€” the only
+    collective in the pipeline. The decode then sees the replicated [B, 256,
+    128] latent, so it can ride the same view sharding as
+    build_sharded_panorama.
+
+    Returns render(params, bn_state, data, input_theta, rois, views) ->
+    [B, V, 512]. jit reshards inputs to the in_specs automatically;
+    device_put-ing params with `lead_param_specs` shardings up front avoids
+    the per-call transfer. The model is small enough to replicate â€” this path exists for the mesh
+    dimension itself: on a (lead, view) 2-D mesh a 12-lead panorama uses all
+    devices even at batch 1, where a data axis would idle.
+    """
+    from electrocardio_panorama_tpu.models.nefnet import encode_latents
+
+    L = model_def.lead_num
+    n_lead = mesh.shape[lead_axis]
+    if L % n_lead != 0:
+        raise ValueError(f"lead_num={L} not divisible by |{lead_axis}|={n_lead}")
+    L_local = L // n_lead
+
+    # param spec tree from the abstract init (no compute): grouped leaves
+    # shard on the lead axis, the rest replicate
+    p_shapes, _ = jax.eval_shape(model_def.init, jax.random.PRNGKey(0))
+    p_specs = lead_param_specs(p_shapes, L, lead_axis)
+
+    def local_render(params, bn_state, data, input_theta, rois, views):
+        lat = encode_latents(
+            params, data, input_theta, rois,
+            lead_num=L_local, theta_encoder_len=model_def.theta_encoder_len,
+        )
+        # lead-mean over ALL L leads = psum of the local-lead partial means
+        z1_mean = jax.lax.psum(lat.z1_mean * (L_local / L), lead_axis)
+        z2_mean = jax.lax.psum(lat.z2_mean * (L_local / L), lead_axis)
+        latent_all = jnp.concatenate([z1_mean, z2_mean], axis=1)
+        v = jnp.broadcast_to(views[None], (latent_all.shape[0], *views.shape))
+        return model_def.decode_views(params, bn_state, latent_all, v)
+
+    lead_sh = P(None, lead_axis)
+    view_sh = P(view_axis) if view_axis is not None else P()
+    render = jax.shard_map(
+        local_render,
+        mesh=mesh,
+        in_specs=(p_specs, P(), lead_sh, lead_sh, P(), view_sh),
+        out_specs=P(None, view_axis) if view_axis is not None else P(),
         check_vma=False,
     )
     return jax.jit(render)

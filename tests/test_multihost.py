@@ -109,7 +109,10 @@ def test_two_process_training_matches_single_process(tmp_path):
         ))
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=600)
+        # generous bound: the host is 1 CPU core and may be shared with a
+        # training run — under contention the two children plus the suite can
+        # take several x the ~2 min idle wall time (observed flake at 600)
+        out, _ = p.communicate(timeout=1800)
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"child {pid} failed:\n{out[-4000:]}"

@@ -291,3 +291,56 @@ def test_dp_step_mixed_precision(cfg):
         v.dtype == np.float32
         for v in jax.tree.leaves(bn_state) if np.issubdtype(v.dtype, np.floating)
     )
+
+
+def test_lead_parallel_panorama_matches_unsharded():
+    """Lead tensor parallelism (SURVEY section 2.3): encoder/z-conv weights and
+    the input's lead axis sharded 4-way (12 leads -> 3 per device) on a
+    (lead=4, view=2) mesh, latent formed by one psum, decode view-sharded.
+    Must equal the unsharded encode+decode up to f32 reduction order (the
+    lead mean becomes a psum of partial means)."""
+    from jax.sharding import PartitionSpec as P
+
+    from electrocardio_panorama_tpu.parallel import (
+        build_lead_parallel_panorama,
+        lead_param_specs,
+    )
+
+    model = NefNetDef(lead_num=12)
+    mesh = make_mesh((4, 2), ("lead", "view"))
+    params, bn_state = model.init(jax.random.PRNGKey(3))
+    rng_np = np.random.default_rng(5)
+    batch = make_batch(rng_np, B=2, L=12)
+    views = jnp.asarray(
+        rng_np.uniform(-np.pi, np.pi, (8, 2)).astype(np.float32)
+    )
+    data = jnp.asarray(batch["data"])
+    itheta = jnp.asarray(batch["input_theta"])
+    rois = jnp.asarray(batch["rois"])
+
+    lat = model.encode(params, data, itheta, rois)
+    want = model.decode_views(
+        params, bn_state, lat.latent_all,
+        jnp.broadcast_to(views[None], (2, 8, 2)),
+    )
+
+    render = build_lead_parallel_panorama(model, mesh, view_axis="view")
+    got = render(params, bn_state, data, itheta, rois, views)
+    assert got.shape == (2, 8, 512)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    # the spec helper shards exactly the per-lead-grouped leaves on axis 0
+    specs = lead_param_specs(params, 12)
+    assert specs["W_encoder.conv1.weight"] == P("lead")
+    assert specs["z2_conv2.1.bias"] == P("lead")
+    assert specs["decoder.4.weight"] == P()
+    assert specs["mlp2.weight"] == P()
+
+
+def test_lead_parallel_lead_count_must_divide():
+    model = NefNetDef(lead_num=3)
+    mesh = make_mesh((4, 2), ("lead", "view"))
+    from electrocardio_panorama_tpu.parallel import build_lead_parallel_panorama
+
+    with pytest.raises(ValueError, match="not divisible"):
+        build_lead_parallel_panorama(model, mesh, view_axis="view")
