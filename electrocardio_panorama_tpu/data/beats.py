@@ -56,10 +56,17 @@ def prep_beat_numpy(beat12: np.ndarray, rois: np.ndarray):
     norm = (beat12 - mn) / (mx - mn)
     lo = (rois[5][0] + rois[5][1]) // 2
     sigma = np.std(norm[:, lo: rois[5][1]], axis=1).astype(np.float32)
+    return pad12_to_seq(norm), sigma, int(beat12.shape[-1])
+
+
+def pad12_to_seq(data12: np.ndarray) -> np.ndarray:
+    """[12, T] -> fresh zero-padded (or truncated) [12, SEQ_LEN] f32. The one
+    padding implementation for both the cached prep path and assemble_meta's
+    unpadded-input fallback — they must stay byte-identical (tianchi.py:199-211)."""
     full12 = np.zeros((12, SEQ_LEN), np.float32)
-    n = min(beat12.shape[-1], SEQ_LEN)
-    full12[:, :n] = norm[:, :n]
-    return full12, sigma, int(beat12.shape[-1])
+    n = min(data12.shape[-1], SEQ_LEN)
+    full12[:, :n] = data12[:, :n]
+    return full12
 
 
 def build_meta(
@@ -97,8 +104,8 @@ def assemble_meta(
     When data12 is already f32 and SEQ_LEN wide (the native prep output, or a
     dataset's prepped-beat cache entry) it is shared into the meta dict
     without a copy, and several meta values are row views of the same array —
-    so meta arrays must be treated as read-only until collate's np.stack
-    copies them out (nothing downstream mutates them in place).
+    meta arrays are read-only until collate's np.stack copies them out
+    (cache entries are frozen by data/cache.py, so in-place mutation raises).
 
     Draw order within the per-example rng stream is jitter -> lead partition
     -> target choice -> noise-of-target. The reference draws the full
@@ -128,9 +135,7 @@ def assemble_meta(
     if data12.dtype == np.float32 and data12.shape[-1] == SEQ_LEN:
         full12 = data12
     else:
-        full12 = np.zeros((12, SEQ_LEN), np.float32)
-        n = min(data12.shape[-1], SEQ_LEN)
-        full12[:, :n] = data12[:, :n]
+        full12 = pad12_to_seq(data12)
 
     # per-lead noise sigma Gaussian over the true beat length, target lead only
     noise = np.zeros(SEQ_LEN, np.float32)

@@ -12,12 +12,11 @@ from __future__ import annotations
 import json
 import os
 import pickle
-import threading
-from collections import OrderedDict
 
 import numpy as np
 
 from electrocardio_panorama_tpu.data.beats import assemble_meta, prep_beat_numpy
+from electrocardio_panorama_tpu.data.cache import LockedLRU
 
 
 def reorder_ptb_leads(source: np.ndarray) -> np.ndarray:
@@ -61,33 +60,23 @@ class PTBBeatDataset:
             os.makedirs(os.path.dirname(pkl_path) or ".", exist_ok=True)
             with open(pkl_path, "wb") as f:
                 pickle.dump(self.beats, f, pickle.HIGHEST_PROTOCOL)
-        # prepped-beat LRU, same rationale, knob, and locking discipline as
-        # TianchiBeatDataset: reorder/normalize/sigma/pad is a pure function
-        # of the beat index; the lock covers only the OrderedDict ops
-        self._prep_cache: OrderedDict[int, tuple] = OrderedDict()
-        self._prep_cache_size = int(getattr(cfg.DATA, "beat_cache", 8192))
-        self._cache_lock = threading.Lock()
+        # prepped-beat LRU, same rationale and knob as TianchiBeatDataset:
+        # reorder/normalize/sigma/pad is a pure function of the beat index
+        # (shared thread-safe implementation: data/cache.py)
+        self._beat_cache = LockedLRU(int(getattr(cfg.DATA, "beat_cache", 8192)))
 
     def __len__(self) -> int:
         return len(self.beats)
 
     def __getitem__(self, index: int, rng: np.random.Generator | None = None) -> dict:
         rng = rng or np.random.default_rng()
-        with self._cache_lock:
-            hit = self._prep_cache.get(index)
-            if hit is not None:
-                self._prep_cache.move_to_end(index)
+        hit = self._beat_cache.get(index)
         if hit is None:
             entry = self.beats[index]
             data, rois = (entry.data, entry.rois_list) if hasattr(entry, "data") else entry
             rois = np.asarray(rois)
             data12 = reorder_ptb_leads(np.asarray(data))
-            hit = (*prep_beat_numpy(data12, rois), rois)
-            if self._prep_cache_size > 0:
-                with self._cache_lock:
-                    self._prep_cache[index] = hit
-                    while len(self._prep_cache) > self._prep_cache_size:
-                        self._prep_cache.popitem(last=False)
+            hit = self._beat_cache.put(index, (*prep_beat_numpy(data12, rois), rois))
         full12, sigma, beat_len, rois = hit
         return assemble_meta(
             full12, sigma, beat_len, rois, cfg=self.cfg, phase=self.phase,

@@ -18,8 +18,6 @@ from __future__ import annotations
 
 import json
 import os
-import threading
-from collections import OrderedDict
 
 import numpy as np
 
@@ -28,6 +26,7 @@ from electrocardio_panorama_tpu.data.beats import (
     beat_rois,
     prep_beat_numpy,
 )
+from electrocardio_panorama_tpu.data.cache import LockedLRU
 from electrocardio_panorama_tpu.data.leads import derive_augmented_leads
 
 
@@ -43,44 +42,28 @@ class TianchiBeatDataset:
         self.data_root = cfg.DATA.train_data_root
         self.label_root = cfg.DATA.train_label_root
         self._label_cache: dict[str, dict] = {}
-        # Bounded LRU of float64 record arrays. The profiler showed np.load +
-        # header parse + astype was ~45% of loader time (each __getitem__
-        # loaded its record twice: num_beats + get_beat); a (8, 5000) f64
-        # record is 320 KB, so the default 2048-record cache tops out ~650 MB.
-        # Consumers never mutate the cached array (native prep takes const
-        # input; the numpy path derives into fresh arrays).
-        self._record_cache: OrderedDict[str, np.ndarray] = OrderedDict()
-        self._record_cache_size = int(getattr(cfg.DATA, "record_cache", 2048))
+        # Bounded LRU of float64 record arrays (data/cache.py: thread-safe,
+        # entries frozen read-only). The profiler showed np.load + header
+        # parse + astype was ~45% of loader time (each __getitem__ loaded its
+        # record twice: num_beats + get_beat); a (8, 5000) f64 record is
+        # 320 KB, so the default 2048-record cache tops out ~650 MB.
+        self._record_cache = LockedLRU(int(getattr(cfg.DATA, "record_cache", 2048)))
         # Prepped-beat LRU: the derive/normalize/sigma stage is a pure function
         # of (record, beat_index) — across a 150-epoch run the same beat is
         # re-prepped thousands of times while only the rng-driven assembly
         # (jitter/partition/target/noise) differs. One entry is a padded
         # [12, 512] f32 + sigma ≈ 25 KB, so the default 8192 tops out ~200 MB.
-        self._beat_cache: OrderedDict[tuple, tuple] = OrderedDict()
-        self._beat_cache_size = int(getattr(cfg.DATA, "beat_cache", 8192))
-        # BeatLoader(num_threads>1) calls __getitem__ from a worker pool;
-        # get->move_to_end vs insert->evict on an OrderedDict race without a
-        # lock (cache VALUES are immutable, so only the dict ops need it —
-        # prep work itself runs outside the lock)
-        self._cache_lock = threading.Lock()
+        self._beat_cache = LockedLRU(int(getattr(cfg.DATA, "beat_cache", 8192)))
 
     def __len__(self) -> int:
         return len(self.records)
 
     def _load(self, name: str):
-        with self._cache_lock:
-            data = self._record_cache.get(name)
-            if data is not None:
-                self._record_cache.move_to_end(name)
+        data = self._record_cache.get(name)
         if data is None:
-            data = np.load(
+            data = self._record_cache.put(name, np.load(
                 os.path.join(self.data_root, name.replace(".json", ".npy"))
-            ).astype(np.float64)
-            if self._record_cache_size > 0:
-                with self._cache_lock:
-                    self._record_cache[name] = data
-                    while len(self._record_cache) > self._record_cache_size:
-                        self._record_cache.popitem(last=False)
+            ).astype(np.float64))
         if name not in self._label_cache:
             with open(os.path.join(self.label_root, name)) as f:
                 label = json.loads(f.read())
@@ -94,17 +77,9 @@ class TianchiBeatDataset:
     def get_beat(self, index: int, beat_index: int, rng: np.random.Generator) -> dict:
         name = self.records[index]
         key = (name, beat_index)
-        with self._cache_lock:
-            hit = self._beat_cache.get(key)
-            if hit is not None:
-                self._beat_cache.move_to_end(key)
+        hit = self._beat_cache.get(key)
         if hit is None:
-            hit = self._prep_beat(name, beat_index)
-            if self._beat_cache_size > 0:
-                with self._cache_lock:
-                    self._beat_cache[key] = hit
-                    while len(self._beat_cache) > self._beat_cache_size:
-                        self._beat_cache.popitem(last=False)
+            hit = self._beat_cache.put(key, self._prep_beat(name, beat_index))
         out12, sigma, beat_len, rois = hit
         return assemble_meta(
             out12, sigma, beat_len, rois,

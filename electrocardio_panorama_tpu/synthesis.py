@@ -22,6 +22,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Device-resident accumulation window for streaming loops (render_dataset,
+# GaussianLatentPrior.fit): outputs stay on device within a window (no
+# per-batch D2H sync) and drain to host once the window exceeds this bound,
+# so device-memory use is O(window) regardless of dataset size.
+_DEVICE_ACCUM_BYTES = 256 << 20
+
 
 def theta_grid(n_theta: int = 7, n_phi: int = 12) -> np.ndarray:
     """The demo notebook's dense viewpoint grid (demo.ipynb cell 2) at its
@@ -95,18 +101,27 @@ class PanoramaGenerator:
                        max_batches: int | None = None):
         """demo.ipynb cells 3-4: render every test batch under the dense grid,
         save all_theta_data.npz (outputs + rois)."""
-        outs, rois_all = [], []
+        host, outs, rois_all, pending = [], [], [], 0
         for bi, batch in enumerate(loader):
             if max_batches is not None and bi >= max_batches:
                 break
             # keep the device array: pulling it here would serialize batch
             # assembly with device compute (one D2H round-trip per batch);
-            # all launches dispatch back-to-back and transfer at the end
-            outs.append(self.render(batch["data"], batch["input_theta"], batch["rois"], views))
+            # launches dispatch back-to-back and transfer once per window —
+            # the window bound keeps device residency O(window), not
+            # O(dataset) (a 50k-beat x 84-view sweep would otherwise hold
+            # ~9 GB of outputs in HBM before the final transfer)
+            out = self.render(batch["data"], batch["input_theta"], batch["rois"], views)
+            outs.append(out)
             rois_all.append(batch["rois"])
+            pending += out.size * out.dtype.itemsize
+            if pending >= _DEVICE_ACCUM_BYTES:
+                host.extend(np.asarray(o, np.float32) for o in outs)
+                outs, pending = [], 0
+        host.extend(np.asarray(o, np.float32) for o in outs)
         rest_out = (
-            np.concatenate([np.asarray(o, np.float32) for o in outs])
-            if outs else np.zeros((0, len(views), 512), np.float32)
+            np.concatenate(host)
+            if host else np.zeros((0, len(views), 512), np.float32)
         )
         rois_cat = np.concatenate(rois_all) if rois_all else np.zeros((0, 7, 2), np.int64)
         if out_path:
@@ -175,19 +190,27 @@ class GaussianLatentPrior:
         enc = jax.jit(
             lambda p, x, it, r: model_def.encode(p, x, it, r, stop_before_reverse=True)
         )
-        z1s, z2s, rois = [], [], None
+        host1, host2, z1s, z2s, rois, pending = [], [], [], [], None, 0
         for bi, batch in enumerate(loader):
             if bi >= max_batches:
                 break
             z1, z2 = enc(params, jnp.asarray(batch["data"]),
                          jnp.asarray(batch["input_theta"]), jnp.asarray(batch["rois"]))
-            # device-resident until after the loop (no per-batch D2H sync)
+            # device-resident within a bounded window (no per-batch D2H sync,
+            # no O(dataset) device residency — see _DEVICE_ACCUM_BYTES)
             z1s.append(z1)
             z2s.append(z2)
+            pending += z1.size * z1.dtype.itemsize + z2.size * z2.dtype.itemsize
+            if pending >= _DEVICE_ACCUM_BYTES:
+                host1.extend(np.asarray(z) for z in z1s)
+                host2.extend(np.asarray(z) for z in z2s)
+                z1s, z2s, pending = [], [], 0
             if rois is None:
                 rois = batch["rois"][0]
-        z1 = np.concatenate([np.asarray(z) for z in z1s])
-        z2 = np.concatenate([np.asarray(z) for z in z2s])
+        host1.extend(np.asarray(z) for z in z1s)
+        host2.extend(np.asarray(z) for z in z2s)
+        z1 = np.concatenate(host1)
+        z2 = np.concatenate(host2)
         eps = 1e-6
         return cls(z1.mean(0), z1.std(0) + eps, z2.mean(0), z2.std(0) + eps, rois)
 

@@ -206,7 +206,7 @@ def test_beat_and_record_caches_transparent(synthetic_cfg):
         cfg2.DATA.record_cache = 0
         cfg2.DATA.beat_cache = 0
         ds_cold = build_dataset(cfg2, "train")
-        assert ds_cold._beat_cache_size == 0
+        assert ds_cold._beat_cache.maxsize == 0
         for index in (0, 3):
             for draw in range(3):  # same beat repeatedly -> cache hits
                 rng_a = np.random.default_rng([11, draw, index])
@@ -218,6 +218,11 @@ def test_beat_and_record_caches_transparent(synthetic_cfg):
                           "rest_theta", "noise"):
                     np.testing.assert_array_equal(a[k], b[k], err_msg=k)
         assert len(ds_cached._beat_cache) > 0 and len(ds_cold._beat_cache) == 0
+        # cached metas alias frozen cache entries (data/cache.py): in-place
+        # mutation must be a loud error, not silent cross-epoch corruption
+        m = ds_cached.__getitem__(0, rng=np.random.default_rng(1))
+        with pytest.raises(ValueError):
+            m["ori_data"][0, 0] = 5.0
 
 
 def test_reference_shipped_yml_loads_unchanged():

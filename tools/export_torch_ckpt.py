@@ -16,7 +16,8 @@ key-compatible.
 
 Usage:
   python tools/export_torch_ckpt.py <native_ckpt.pkl> <out.pkl> [--check]
-  python tools/export_torch_ckpt.py --fresh <out.pkl> --check   (fresh-init params)
+  python tools/export_torch_ckpt.py --fresh <out.pkl> --check [--leads N]
+      (fresh-init params; --leads exercises non-default model geometry)
 """
 
 from __future__ import annotations
@@ -53,10 +54,14 @@ def main() -> None:
     from electrocardio_panorama_tpu.training.torch_import import export_torch_pkl
 
     if fresh:
-        out_path = args[0]
         from electrocardio_panorama_tpu.models import NefNetDef
 
-        model = NefNetDef(3)
+        leads = 3
+        if "--leads" in sys.argv:
+            leads = int(sys.argv[sys.argv.index("--leads") + 1])
+            args.remove(str(leads))
+        out_path = args[0]
+        model = NefNetDef(leads)
         params, state = model.init(jax.random.PRNGKey(0))
         extras = {"epoch": 0, "best_test_psnr_gen": 0.0}
     else:
@@ -76,17 +81,20 @@ def main() -> None:
 
     import network.model_nefnet as mn  # reference, read-only
 
-    lead_num = 3
-    ref = mn.Model_nefnet(theta_encoder_len=1, lead_num=lead_num)
+    # model geometry from the exported tensors themselves (the encoder tower
+    # has 128 channels per lead; the theta feature dim is (2*len+1)*4), so
+    # --check works for any lead_num / theta_L the checkpoint was trained with
+    lead_num = int(params["W_encoder.conv1.weight"].shape[0]) // 128
+    theta_len = (int(params["mlp1.weight"].shape[1]) // 4 - 1) // 2
+    ref = mn.Model_nefnet(theta_encoder_len=theta_len, lead_num=lead_num)
     payload = torch.load(out_path, map_location="cpu", weights_only=False)
     ref.load_state_dict(payload["model"], strict=True)
     ref.eval()
     print("reference load_state_dict(strict=True): ok")
 
     from electrocardio_panorama_tpu.models import NefNetDef
-    from electrocardio_panorama_tpu.models.nefnet import decode_views
 
-    model = NefNetDef(lead_num)
+    model = NefNetDef(lead_num, theta_encoder_len=theta_len)
     rng = np.random.default_rng(7)
     data = rng.uniform(0, 1, (2, lead_num, 512)).astype(np.float32)
     it = rng.uniform(-np.pi, np.pi, (2, lead_num, 2)).astype(np.float32)
@@ -96,7 +104,7 @@ def main() -> None:
     views = rng.uniform(-np.pi, np.pi, (2, 5, 2)).astype(np.float32)
 
     latent = model.encode(params, data, it, rois).latent_all
-    ours = np.asarray(decode_views(params, state, latent, views))
+    ours = np.asarray(model.decode_views(params, state, latent, views))
 
     # the reference decodes arbitrary views through its test phase
     # (model_nefnet.py:181-192: rest_theta drives a per-view decode loop)
