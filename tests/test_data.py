@@ -266,3 +266,35 @@ def test_synthetic_corpus_regenerates_on_size_change(tmp_path):
     build_dataset(cfg2, "train")
     with open(tmp_path / "synth" / "tianchi_train_jsons.txt") as f:
         assert sum(1 for l in f if l.strip()) == 6
+
+
+def test_locked_lru_concurrent_and_frozen():
+    """data/cache.py: hammered get/put from a thread pool keeps the LRU
+    bounded and intact (the OrderedDict ops race without the lock), and put
+    freezes ndarray values read-only."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from electrocardio_panorama_tpu.data.cache import LockedLRU
+
+    lru = LockedLRU(64)
+
+    def worker(seed):
+        rng = np.random.default_rng(seed)
+        for _ in range(500):
+            k = int(rng.integers(200))
+            v = lru.get(k)
+            if v is None:
+                v = lru.put(k, (np.full(4, k, np.float32), k))
+            assert int(v[0][0]) == k == v[1]
+
+    with ThreadPoolExecutor(8) as pool:
+        list(pool.map(worker, range(8)))
+    assert len(lru) <= 64
+    frozen = lru.put("x", np.zeros(3))
+    with pytest.raises(ValueError):
+        frozen[0] = 1.0
+    # maxsize<=0 disables caching and leaves values writable
+    off = LockedLRU(0)
+    v = off.put("k", np.zeros(2))
+    v[0] = 1.0
+    assert off.get("k") is None and len(off) == 0
