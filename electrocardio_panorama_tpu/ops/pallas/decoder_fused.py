@@ -145,19 +145,19 @@ def vmem_bytes_estimate(v_tile: int, storage_dtype) -> int:
     [Cout, VT*n] f32 intermediate instead of three shifted operands), so
     the estimate stays conservative. It also upper-bounds the layout-B
     (view,channel)-row bf16 kernel: its batched [VT, C, t] stages carry the
-    same element counts with smaller peak operands, and the resident
-    conv5 selectors [3, VT, VT*64] are smaller than the E/T gate selectors
-    modeled in the weights term.
+    same element counts with smaller peak operands.
     """
     s = jnp.dtype(storage_dtype).itemsize
     consts = (256 * FEAT + v_tile * 256 + v_tile * SEQ) * s
-    # resident gate selectors, whichever pipeline's set is larger at this
-    # dtype: layout A's E [VT, VT*FEAT] + T [FEAT, VT*FEAT] (f32), or the
+    # resident selector set, whichever pipeline's is larger at this dtype:
+    # layout A's E [VT, VT*FEAT] + T [FEAT, VT*FEAT] (f32), or the
     # packed-gate kernel's M1 [VT*256, VT*2] + M2 [VT*256, 128] + ones
-    # [128, 128] (storage dtype) — both grow with v_tile
+    # [128, 128] + conv5 row-selectors selw [3, VT, VT*64] (storage dtype)
+    # — both sets grow with v_tile^2
     gate_sel = max(
         (v_tile * v_tile * FEAT + FEAT * v_tile * FEAT) * 4,
-        (v_tile * 256 * (v_tile * 2 + 128) + 128 * 128) * s,
+        (v_tile * 256 * (v_tile * 2 + 128) + 128 * 128
+         + 3 * v_tile * v_tile * 64) * s,
     )
     weights = (
         # conv4 term sized for the dot-fused K=128 blocks (4 x [64, 128],
@@ -219,7 +219,7 @@ def _dot_fast(w, h):
     )
 
 
-def _conv3(h, w_taps, b, vt: int, t: int, relu: bool, *, carry_f32: bool = False):
+def _conv3(h, w_taps, b, t: int, relu: bool, *, carry_f32: bool = False):
     """k3 p1 conv over the time axis of [Cin, VT*T] per-view segments as
     three accumulating matmuls over lane-shifted activations.
 
@@ -300,29 +300,22 @@ def _decoder_kernel(latent_ref, gates_ref, u1_ref, u2_ref, e_ref, t_ref,
     # gate x latent -> [256, VT*128] (channel-major, views side by side),
     # built WITHOUT the 3-D broadcast multiply + reshape: the [256, VT, 128]
     # -> [256, VT*128] merge relayouts sublanes into lanes (measured
-    # ~2 ms/launch) and the 3-D broadcast is also the one pattern the Mosaic
-    # bf16 lowering rejects. E [VT, VT*128] replicates each view's gate
-    # across its 128 lanes (a 0/1 selector matmul). The latent tiled across
-    # views is a PURE concat-repeat, so the bf16 pipeline uses pltpu.repeat
-    # (no T-matmul, bf16 multiply; callers already quantize latent/gates to
-    # bf16, so the product rounds identically — measured +3% end to end);
-    # the f32 pipeline keeps both exact f32 selector matmuls.
-    if storage_dtype == jnp.float32:
-        g_exp = _dot_f32(gates.T, e_ref[:])           # [256, VT*128]
-        lat_t = _dot_f32(latent, t_ref[:])            # [256, VT*128]
-        h = (g_exp * lat_t).astype(storage_dtype)
-    else:
-        g_exp = _dot_fast(gates.T, e_ref[:]).astype(storage_dtype)
-        lat_t = pltpu.repeat(latent.astype(storage_dtype), vt, axis=1)
-        h = g_exp * lat_t
+    # ~2 ms/launch). E [VT, VT*128] replicates each view's gate across its
+    # 128 lanes and T tiles the latent across views — both exact f32
+    # selector matmuls. This kernel IS the f32 pipeline: fused_decode_views
+    # routes every non-f32 dtype to _decoder_kernel_pp, so storage_dtype is
+    # always float32 here (kept as a parameter for the cast sites' clarity).
+    g_exp = _dot_f32(gates.T, e_ref[:])           # [256, VT*128]
+    lat_t = _dot_f32(latent, t_ref[:])            # [256, VT*128]
+    h = (g_exp * lat_t).astype(storage_dtype)
 
     h = _upconv3(h, w1[:], b1[:], u1_ref[:], vt, FEAT, True)      # [128, VT*256]
-    h = _conv3(h, w2[:], b2[:], vt, 2 * FEAT, True)               # [128, VT*256]
+    h = _conv3(h, w2[:], b2[:], 2 * FEAT, True)                   # [128, VT*256]
     h = _upconv3(h, w3[:], b3[:], u2_ref[:], vt, 2 * FEAT, True)  # [64, VT*512]
     # f32-carried tail: convs 4-5 accumulate f32 and hand the f32 result on
     # (operands follow the storage dtype; the carried values never round)
-    h = _conv3(h, w4[:], b4[:], vt, SEQ, True, carry_f32=True)   # [64, VT*512] f32
-    h = _conv3(h, w5[:], b5[:], vt, SEQ, False, carry_f32=True)  # [1, VT*512] f32
+    h = _conv3(h, w4[:], b4[:], SEQ, True, carry_f32=True)   # [64, VT*512] f32
+    h = _conv3(h, w5[:], b5[:], SEQ, False, carry_f32=True)  # [1, VT*512] f32
 
     out = jax.nn.sigmoid(h / 3.0)
     out_ref[0] = out.reshape(vt, SEQ).astype(out_ref.dtype)
@@ -486,8 +479,9 @@ def dotfuse_operands(folded: dict):
     polyphase_matrices' f32 combinations).
 
     Returns (u1eo [3, 128, 256], ab_m [3, 128, 128] = [A_k;B_k],
-    c01/c23 [128, 128] stacked edge corrections, b3_2 [256] f32 doubled
-    bias, w4_12/w4_z0/w4_01/w4_2z [64, 128] concatenated conv4 blocks).
+    c01/c23 [128, 128] stacked edge corrections, b3_2 [128] f32 doubled
+    conv3 bias (matching the [A_k;B_k] M-stacked rows),
+    w4_12/w4_z0/w4_01/w4_2z [64, 128] concatenated conv4 blocks).
     """
     dtype = folded["w1"].dtype
     u1e, u1o, ab3, c3 = polyphase_matrices(folded)

@@ -75,32 +75,6 @@ def pack_train_weights(params: dict, dtype=jnp.float32) -> dict:
     return out
 
 
-def unpack_weight_grads(grads: dict) -> dict:
-    """Inverse of pack_train_weights for the VJP: tap-major [3, Cout, Cin] back
-    to torch [Cout, Cin, 3]; all f32."""
-    out = {}
-    convs = [
-        ("decoder.1.double_conv.0", "w1", "b1"),
-        ("decoder.1.double_conv.3", "w2", "b2"),
-        ("decoder.3.double_conv.0", "w3", "b3"),
-        ("decoder.3.double_conv.3", "w4", "b4"),
-        ("decoder.4", "w5", "b5"),
-    ]
-    for key, wk, bk in convs:
-        out[f"{key}.weight"] = jnp.transpose(grads[wk].astype(jnp.float32), (1, 2, 0))
-        out[f"{key}.bias"] = grads[bk].astype(jnp.float32)
-    bns = [
-        ("decoder.1.double_conv.1", "g1", "o1"),
-        ("decoder.1.double_conv.4", "g2", "o2"),
-        ("decoder.3.double_conv.1", "g3", "o3"),
-        ("decoder.3.double_conv.4", "g4", "o4"),
-    ]
-    for key, gk, ok in bns:
-        out[f"{key}.weight"] = grads[gk].astype(jnp.float32)
-        out[f"{key}.bias"] = grads[ok].astype(jnp.float32)
-    return out
-
-
 BN_KEYS = (
     "decoder.1.double_conv.1",
     "decoder.1.double_conv.4",
@@ -151,7 +125,7 @@ def _upconv_fwd(h, w_taps, b, u3, nb: int, n_in: int):
     return acc.reshape(cout, nb * 2 * n_in) + b[:, None]
 
 
-def _upconv_bwd_dh(dy, w_taps, u3, nb: int, n_in: int, cin: int):
+def _upconv_bwd_dh(dy, w_taps, u3, nb: int, n_in: int):
     """dh = sum_k W_k^T @ (dy @ U_k^T). dy [Cout, nb*2n] f32 -> [Cin, nb*n] f32."""
     od = w_taps.dtype
     cout = w_taps.shape[1]
@@ -338,7 +312,7 @@ def _train_bwd_kernel(x_ref, dout_ref, u1_ref, u2_ref, *rest, nb: int):
     da3, dg3, do3 = _bn_relu_bwd(dh3, st["h3"], st["xh3"], st["inv3"], w["g3"], n2)
     _acc(dg3_ref, dg3[None]), _acc(do3_ref, do3[None])
     # upconv2
-    dh2 = _upconv_bwd_dh(da3, w["w3"], u2, nb, 2 * FEAT, 128)
+    dh2 = _upconv_bwd_dh(da3, w["w3"], u2, nb, 2 * FEAT)
     dw3, db3 = _upconv_bwd_dw(da3, st["h2s"], w["w3"], u2, nb, 2 * FEAT)
     _acc(dw3_ref, dw3), _acc(db3_ref, db3[None])
     # BN2 + relu
@@ -352,7 +326,7 @@ def _train_bwd_kernel(x_ref, dout_ref, u1_ref, u2_ref, *rest, nb: int):
     da1, dg1, do1 = _bn_relu_bwd(dh1, st["h1"], st["xh1"], st["inv1"], w["g1"], n1)
     _acc(dg1_ref, dg1[None]), _acc(do1_ref, do1[None])
     # upconv1
-    dx = _upconv_bwd_dh(da1, w["w1"], u1, nb, FEAT, 256)
+    dx = _upconv_bwd_dh(da1, w["w1"], u1, nb, FEAT)
     dw1, db1 = _upconv_bwd_dw(da1, x, w["w1"], u1, nb, FEAT)
     _acc(dw1_ref, dw1), _acc(db1_ref, db1[None])
     dx_ref[0] = dx.astype(dx_ref.dtype)
@@ -363,9 +337,49 @@ _WNAMES = ["w1", "b1", "g1", "o1", "w2", "b2", "g2", "o2",
            "w3", "b3", "g3", "o3", "w4", "b4", "g4", "o4", "w5", "b5"]
 
 
+def train_vmem_bytes_estimate(nb: int) -> int:
+    """Conservative per-program VMEM footprint of the RECOMPUTING backward
+    kernel (the wider of the pair) at per-group batch ``nb``.
+
+    Structural count: the recompute keeps 11 forward planes live for the
+    gradient chain (h1s/h1/xh1, h2s/h2/xh2, h3s/h3/xh3, h4/xh4 — each a
+    [C, nb*t] slab of 32k elements per sample), plus the double-buffered x
+    input block, the dx output block, and ~3 transient gradient planes —
+    ~18 planes x 32768 elts x 4 B per sample (f32-dominant; the bf16 storage
+    planes only shrink this). Fixed residents: the u1/u2 upsample stacks,
+    weights, and the accumulated weight-grad blocks. The known-good
+    production point nb=32 (batch 32, measured on chip) estimates ~79 MiB,
+    under the 100 MiB budget; nb=48 estimates over it (~117 MiB).
+    """
+    per_sample = 18 * 32768 * 4
+    fixed = (
+        (3 * 128 * 256 + 3 * 256 * 512) * 4                       # u1 + u2
+        + 2 * 3 * (128 * 256 + 128 * 128 + 64 * 128 + 64 * 64 + 64) * 4  # w + dw
+        + 16 * 512 * 4                                            # biases/affine + grads
+    )
+    return fixed + per_sample * nb
+
+
+def _validate_train_nb(nb: int) -> None:
+    """Reject per-group batches whose recomputing-backward working set would
+    exceed the VMEM budget — over budget surfaces as an opaque Mosaic
+    compile/allocation failure (or a worker crash) instead of this error.
+    The eval kernel's analogue is decoder_fused.validate_v_tile."""
+    est = train_vmem_bytes_estimate(nb)
+    if est > VMEM_LIMIT_BYTES:
+        raise ValueError(
+            f"fused training decoder: per-group batch {nb} needs ~"
+            f"{est / 2**20:.0f} MiB of VMEM per program (> "
+            f"{VMEM_LIMIT_BYTES / 2**20:.0f} MiB budget); reduce "
+            f"DATA.batch_size or use TPU.train_decoder='xla' "
+            f"(estimate: train_vmem_bytes_estimate)"
+        )
+
+
 def _fwd_call(w: dict, x, *, interpret: bool):
     G, C, n = x.shape
     nb = n // FEAT
+    _validate_train_nb(nb)
     dtype = x.dtype
     u1 = upsample_shift_matrices(FEAT, w["w1"].dtype)
     u2 = upsample_shift_matrices(2 * FEAT, w["w1"].dtype)
@@ -400,6 +414,7 @@ def _fwd_call(w: dict, x, *, interpret: bool):
 def _bwd_call(w: dict, x, dout, *, interpret: bool):
     G, C, n = x.shape
     nb = n // FEAT
+    _validate_train_nb(nb)
     u1 = upsample_shift_matrices(FEAT, w["w1"].dtype)
     u2 = upsample_shift_matrices(2 * FEAT, w["w1"].dtype)
     wspecs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 18

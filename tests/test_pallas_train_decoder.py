@@ -202,3 +202,22 @@ def test_dp_shard_map_rides_fused_train_decoder(tmp_path):
     assert any(
         not np.allclose(np.asarray(p8[k]), np.asarray(params[k])) for k in params
     )
+
+
+def test_train_batch_vmem_guard():
+    """The recomputing train kernels reject per-group batches whose working
+    set would blow the VMEM budget (over budget is an opaque Mosaic failure
+    or a worker crash, not an error). nb=32 is the measured-good production
+    point; nb=48 must raise a clear ValueError naming the batch."""
+    import pytest
+
+    from electrocardio_panorama_tpu.ops.pallas.decoder_train import (
+        VMEM_LIMIT_BYTES,
+        _validate_train_nb,
+        train_vmem_bytes_estimate,
+    )
+
+    _validate_train_nb(32)
+    assert train_vmem_bytes_estimate(32) < VMEM_LIMIT_BYTES
+    with pytest.raises(ValueError, match="per-group batch 48"):
+        _validate_train_nb(48)

@@ -65,16 +65,16 @@ def main(mode="bf16", v_tile=16):
             h = df._upconv3(h, w1[:], b1[:], u1_ref[:], vt, df.FEAT, True)
             done = stop == "upconv1"
         if not done:
-            h = df._conv3(h, w2[:], b2[:], vt, 2 * df.FEAT, True)
+            h = df._conv3(h, w2[:], b2[:], 2 * df.FEAT, True)
             done = stop == "conv2"
         if not done:
             h = df._upconv3(h, w3[:], b3[:], u2_ref[:], vt, 2 * df.FEAT, True)
             done = stop == "upconv2"
         if not done:
-            h = df._conv3(h, w4[:], b4[:], vt, df.SEQ, True, carry_f32=True)
+            h = df._conv3(h, w4[:], b4[:], df.SEQ, True, carry_f32=True)
             done = stop == "conv4"
         if not done:
-            h = df._conv3(h, w5[:], b5[:], vt, df.SEQ, False, carry_f32=True)
+            h = df._conv3(h, w5[:], b5[:], df.SEQ, False, carry_f32=True)
             out_ref[0] = jax.nn.sigmoid(h / 3.0).reshape(vt, df.SEQ)
             return
         # keep the truncated pipeline live: reduce into the output block

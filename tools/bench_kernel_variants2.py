@@ -132,16 +132,16 @@ def main(*combos):
             if "conv2_mstack" in flags:
                 h = conv_mstack(h, w2[:], b2[:], vt, 2 * df.FEAT, True)
             else:
-                h = df._conv3(h, w2[:], b2[:], vt, 2 * df.FEAT, True)
+                h = df._conv3(h, w2[:], b2[:], 2 * df.FEAT, True)
             h = df._upconv3(h, w3[:], b3[:], u2_ref[:], vt, 2 * df.FEAT, True)
             if "conv4_mstack" in flags:
                 h = conv_mstack(h, w4[:], b4[:], vt, df.SEQ, True, carry_f32=True)
             else:
-                h = df._conv3(h, w4[:], b4[:], vt, df.SEQ, True, carry_f32=True)
+                h = df._conv3(h, w4[:], b4[:], df.SEQ, True, carry_f32=True)
             if "conv5_stack" in flags:
                 h = conv5_stack(h, w5[:], b5[:], vt, df.SEQ)
             else:
-                h = df._conv3(h, w5[:], b5[:], vt, df.SEQ, False, carry_f32=True)
+                h = df._conv3(h, w5[:], b5[:], df.SEQ, False, carry_f32=True)
             out_ref[0] = jax.nn.sigmoid(h / 3.0).reshape(vt, df.SEQ).astype(out_ref.dtype)
 
         return kernel
