@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
 import jax.numpy as jnp
 
 from electrocardio_panorama_tpu.cli import base_parser, cfg_from_args

@@ -7,7 +7,6 @@ import numpy as np
 import pytest
 
 from electrocardio_panorama_tpu.annotation import (
-    BREAKPOINT_KEYS,
     auto_segment,
     beats_in,
     detect_r_peaks,

@@ -12,10 +12,7 @@ from electrocardio_panorama_tpu.models.nefnet import (
     init_nefnet,
 )
 from electrocardio_panorama_tpu.ops.pallas.decoder_train import (
-    chain_running_stats,
     make_train_decode_fn,
-    pack_train_weights,
-    train_decode_groups,
 )
 
 B = 4  # per-group batch

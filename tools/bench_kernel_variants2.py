@@ -30,7 +30,6 @@ Default: a ladder from base to all-winners.
 
 from __future__ import annotations
 
-import functools
 import sys
 import time
 
