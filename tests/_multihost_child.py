@@ -36,6 +36,19 @@ def make_cfg(output_dir: str, synth_root: str):
 
 
 def main():
+    import os
+
+    # Shed any inherited niceness: when the suite itself runs niced (e.g.
+    # alongside a foreground training run on this 1-core host), a starved
+    # child misses the Gloo TCP connect window of its peer's first collective
+    # and the run dies with "Gloo context initialization failed: Connect
+    # timeout" (observed once). The handshake needs both children scheduled;
+    # priority 0 is safe for a <3 min test process (no-op if not permitted).
+    try:
+        os.setpriority(os.PRIO_PROCESS, 0, 0)
+    except (OSError, AttributeError):
+        pass
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
