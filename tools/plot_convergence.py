@@ -1,6 +1,8 @@
 """Plot the training convergence curve from scalars.jsonl -> docs/convergence.png.
 
-Usage: python tools/plot_convergence.py [scalars.jsonl] [out.png]
+Usage: python tools/plot_convergence.py [scalars.jsonl] [out.png] [lr_drops]
+where lr_drops is a comma-separated epoch list (default "50,100" — the
+Tianchi recipe; the PTB recipe uses "40,70").
 """
 
 import json
@@ -12,7 +14,8 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 
 
-def main(path="output/convergence/tf_logs/scalars.jsonl", out="docs/convergence.png"):
+def main(path="output/convergence/tf_logs/scalars.jsonl", out="docs/convergence.png",
+         lr_drops="50,100"):
     rows = [json.loads(l) for l in open(path) if l.strip()]
     rows.sort(key=lambda r: r["step"])
     ep = [r["step"] for r in rows]
@@ -31,7 +34,7 @@ def main(path="output/convergence/tf_logs/scalars.jsonl", out="docs/convergence.
         ax.set_xlabel("epoch")
         ax.legend()
         ax.grid(alpha=0.3)
-        for x in (50, 100):  # MultiStep LR drops (nef_net.yml lr_step)
+        for x in (int(s) for s in str(lr_drops).split(",")):  # MultiStep LR drops
             ax.axvline(x, color="0.8", ls="--", lw=0.8)
     fig.tight_layout()
     fig.savefig(out, dpi=110)
