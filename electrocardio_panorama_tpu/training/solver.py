@@ -397,6 +397,10 @@ class Solver:
             start_epoch = int(extras.get("epoch", -1)) + 1 if "epoch" in extras else 0
             best_psnr_gen = float(extras.get("best_test_psnr_gen", 0.0))
             print(f"resumed from epoch {start_epoch}, best_test_psnr_gen {best_psnr_gen:.6f}")
+        # Keep scalars.jsonl a single clean run: drop rows at/after the first
+        # epoch this process will write (stale rows from a previous run of
+        # this output_dir — all of them when starting fresh).
+        self.writer.prune_from(start_epoch)
 
         profile_dir = cfg.TPU.profile_dir
         for epoch in range(start_epoch, cfg.SOLVER.epochs):

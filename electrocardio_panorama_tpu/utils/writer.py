@@ -28,6 +28,31 @@ class ScalarWriter:
                 except ImportError:
                     self.tb = None
 
+    def prune_from(self, step: int) -> None:
+        """Drop persisted rows with step >= ``step``.
+
+        Called at train (re)start with the first epoch about to run, so
+        scalars.jsonl is always ONE clean monotone run: a fresh run truncates
+        a stale file entirely, and a resume from epoch N drops rows N.. that
+        an earlier process wrote before diverging (re-running a recipe into
+        an existing output_dir used to append a mixed-provenance curve with
+        duplicate epochs). TensorBoard event files are append-only binaries
+        and keep the reference's behavior (overlapping curves on re-run).
+        """
+        if not self.jsonl:
+            return
+        path = os.path.join(self.logdir, "scalars.jsonl")
+        self.jsonl.close()
+        try:
+            with open(path) as f:
+                rows = [l for l in f if l.strip()]
+            kept = [l for l in rows if json.loads(l).get("step", 0) < step]
+            if len(kept) != len(rows):
+                with open(path, "w") as f:
+                    f.writelines(kept)
+        finally:
+            self.jsonl = open(path, "a")
+
     def write(self, scalars: dict, step: int) -> None:
         if self.jsonl:
             self.jsonl.write(json.dumps({"step": step, **{k: float(v) for k, v in scalars.items()}}) + "\n")

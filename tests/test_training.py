@@ -366,6 +366,41 @@ def test_scalar_writer_jsonl(tmp_path):
     assert rows[0]["step"] == 3 and rows[0]["psnr_gen"] == 21.5
 
 
+def test_scalar_writer_prune_from_keeps_one_clean_run(tmp_path):
+    """prune_from drops stale rows at/after the first epoch about to run, so
+    a resume (or a from-scratch re-run into the same output_dir) never leaves
+    duplicate-epoch mixed-provenance rows in scalars.jsonl."""
+    import json
+
+    from electrocardio_panorama_tpu.utils import ScalarWriter
+
+    w = ScalarWriter(str(tmp_path), use_tensorboard=False)
+    for e in range(6):
+        w.write({"psnr_gen": float(e)}, step=e)
+    w.close()
+
+    # resume from epoch 3: rows 3..5 are a diverged earlier future -> dropped
+    w = ScalarWriter(str(tmp_path), use_tensorboard=False)
+    w.prune_from(3)
+    for e in (3, 4):
+        w.write({"psnr_gen": 10.0 + e}, step=e)
+    w.close()
+    rows = [json.loads(ln) for ln in open(tmp_path / "scalars.jsonl")]
+    assert [r["step"] for r in rows] == [0, 1, 2, 3, 4]
+    assert rows[3]["psnr_gen"] == 13.0  # the new process's row, not the stale one
+
+    # fresh start into the same dir truncates entirely
+    w = ScalarWriter(str(tmp_path), use_tensorboard=False)
+    w.prune_from(0)
+    w.write({"psnr_gen": 99.0}, step=0)
+    w.close()
+    rows = [json.loads(ln) for ln in open(tmp_path / "scalars.jsonl")]
+    assert [r["step"] for r in rows] == [0] and rows[0]["psnr_gen"] == 99.0
+
+    # the None writer no-ops
+    ScalarWriter(None).prune_from(5)
+
+
 def test_solver_paint(tmp_path):
     """Waveform-grid PNG dumps (reference paint, solver.py:247-277)."""
     cfg = get_cfg()
