@@ -1,0 +1,127 @@
+"""On-chip parity check: production fused Pallas decoder vs a torch-CPU oracle.
+
+Runs on the REAL TPU (no JAX_PLATFORMS override) and verifies the production
+panorama decode path — ``fold_decoder_bn`` + ``fused_decode_views`` exactly as
+``synthesis.PanoramaGenerator(use_fused=True)`` calls them — against an
+independent float64 torch-CPU implementation of the eval decoder chain
+(reference codes/network/model_nefnet.py:101-107,163-168):
+
+    gate x latent -> up x2 -> DoubleConv(256->128) -> up x2
+                  -> DoubleConv(128->64) -> conv k3 -> sigmoid(x/3)
+
+Three measurements per run: f32 kernel vs oracle, bf16 kernel vs oracle, and
+XLA decode_views (f32) vs oracle, so kernel error is attributable (the XLA row
+bounds the TPU-f32 noise floor). BN running stats are randomized so the BN
+folding is exercised with non-trivial statistics.
+
+Usage: python tools/verify_fused_onchip.py [n_views]
+"""
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from electrocardio_panorama_tpu.models import NefNetDef
+from electrocardio_panorama_tpu.models.nefnet import decode_views, query_gates
+from electrocardio_panorama_tpu.ops.pallas.decoder_fused import (
+    fold_decoder_bn,
+    fused_decode_views,
+)
+
+BN_EPS = 1e-5
+
+
+def torch_decoder_oracle(params, state, latent, gates):
+    """float64 torch-CPU eval decoder: ground truth for the parity rows."""
+    p = {k: torch.from_numpy(np.asarray(v, np.float64)) for k, v in params.items()}
+    s = {k: torch.from_numpy(np.asarray(v, np.float64)) for k, v in state.items()}
+    B, V = gates.shape[:2]
+    x = torch.from_numpy(np.asarray(gates, np.float64)).reshape(B * V, 256, 1) \
+        * torch.from_numpy(np.asarray(latent, np.float64)).repeat_interleave(V, dim=0)
+
+    def bn(h, prefix):
+        return F.batch_norm(
+            h, s[f"{prefix}.running_mean"], s[f"{prefix}.running_var"],
+            p[f"{prefix}.weight"], p[f"{prefix}.bias"], training=False, eps=BN_EPS,
+        )
+
+    def dc(h, prefix):
+        h = F.conv1d(h, p[f"{prefix}.0.weight"], p[f"{prefix}.0.bias"], padding=1)
+        h = F.relu(bn(h, f"{prefix}.1"))
+        h = F.conv1d(h, p[f"{prefix}.3.weight"], p[f"{prefix}.3.bias"], padding=1)
+        return F.relu(bn(h, f"{prefix}.4"))
+
+    h = F.interpolate(x, scale_factor=2, mode="linear", align_corners=False)
+    h = dc(h, "decoder.1.double_conv")
+    h = F.interpolate(h, scale_factor=2, mode="linear", align_corners=False)
+    h = dc(h, "decoder.3.double_conv")
+    h = F.conv1d(h, p["decoder.4.weight"], p["decoder.4.bias"], padding=1)
+    return torch.sigmoid(h / 3).reshape(B, V, 512).numpy()
+
+
+def main(n_views: int = 16) -> int:
+    print(f"platform: {jax.default_backend()}  devices: {jax.devices()}")
+    rng = np.random.default_rng(7)
+    model = NefNetDef(3)
+    params, state = model.init(jax.random.PRNGKey(0))
+    # non-trivial BN statistics so fold_decoder_bn is exercised for real
+    state = {
+        k: (jnp.asarray(rng.uniform(0.5, 2.0, v.shape).astype(np.float32))
+            if k.endswith("running_var")
+            else jnp.asarray(rng.standard_normal(v.shape).astype(np.float32) * 0.2)
+            if k.endswith("running_mean") else v)
+        for k, v in state.items()
+    }
+
+    # realistic latents: actual encoder output (random latents understate bf16 error)
+    data = jnp.asarray(rng.uniform(0, 1, (2, 3, 512)).astype(np.float32))
+    it = jnp.asarray(rng.uniform(-np.pi, np.pi, (2, 3, 2)).astype(np.float32))
+    cuts = np.sort(rng.choice(np.arange(8, 504, 4), size=6, replace=False))
+    pts = np.concatenate([[0], cuts, [512]])
+    rois = jnp.asarray(np.broadcast_to(np.stack([pts[:-1], pts[1:]], 1), (2, 7, 2)))
+    latent = model.encode(params, data, it, rois).latent_all
+    views = jnp.asarray(
+        rng.uniform(-np.pi, np.pi, (2, n_views, 2)).astype(np.float32))
+    gates = query_gates(params, views)
+
+    oracle = torch_decoder_oracle(params, state, np.asarray(latent), np.asarray(gates))
+
+    rows = {}
+    rows["xla_f32"] = np.asarray(decode_views(params, state, latent, views))
+    folded_f32 = fold_decoder_bn(params, state)
+    rows["pallas_f32"] = np.asarray(
+        fused_decode_views(folded_f32, latent, gates, v_tile=16))
+    folded_bf16 = fold_decoder_bn(params, state, dtype=jnp.bfloat16)
+    rows["pallas_bf16"] = np.asarray(
+        fused_decode_views(folded_bf16, latent, gates, v_tile=16))
+
+    ok = True
+    for name, out in rows.items():
+        corr = np.corrcoef(out.ravel(), oracle.ravel())[0, 1]
+        mae = np.abs(out - oracle).mean()
+        mx = np.abs(out - oracle).max()
+        # bf16 criterion is atol-based (matching tests/test_pallas_decoder.py):
+        # with randomized BN stats on an untrained net the output variance is
+        # tiny, so corr understates parity while abs error stays meaningful.
+        if "bf16" in name:
+            good = corr > 0.995 and mx < 1.5e-4
+        else:
+            good = corr > 0.99999 and mx < 1e-5
+        good = good and bool(np.isfinite(out).all())
+        ok &= bool(good)
+        print(f"{name:12s} vs torch-f64 oracle: corr {corr:.7f}  "
+              f"mae {mae:.2e}  max {mx:.2e}  {'OK' if good else 'FAIL'}")
+    d = np.abs(rows["pallas_f32"] - rows["xla_f32"])
+    print(f"pallas_f32 vs xla_f32 (same chip): mae {d.mean():.2e} max {d.max():.2e}")
+    print("PARITY:", "ok" if ok else "FAILED")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 16))
