@@ -366,21 +366,30 @@ def main():
     except Exception as e:  # noqa: BLE001 — report the fallback instead
         train_step_ms_bf16_fused = f"error: {str(e)[:80]}"
 
-    # p50 latency: single-beat 24-view panorama, RTT amortized over K chains
+    # p50 latency: single-beat 24-view panorama. The signal (~4 us/launch) is
+    # far below tunnel-RTT variance (+-6 ms observed), so rtt subtraction
+    # clamps to 0 — instead time TWO chain lengths and take the per-launch
+    # DIFFERENCE quotient, which cancels RTT (and any fixed dispatch cost)
+    # exactly in the medians.
     b1 = _synth_batch(rng, B=1)
-    K_LAT = 256
-    v24 = jnp.asarray(rng.uniform(-np.pi, np.pi, (K_LAT, 1, 24, 2)), dtype)
-    args1 = (
-        params_c, bn_c, jnp.asarray(b1["data"], dtype),
-        jnp.asarray(b1["input_theta"], dtype), jnp.asarray(b1["rois"]), v24,
-    )
-    float(chain(*args1))
-    lats = []
-    for _ in range(20):
+    K_SHORT, K_LONG = 256, 2304
+    vlong = jnp.asarray(rng.uniform(-np.pi, np.pi, (K_LONG, 1, 24, 2)), dtype)
+    d1 = (jnp.asarray(b1["data"], dtype), jnp.asarray(b1["input_theta"], dtype),
+          jnp.asarray(b1["rois"]))
+    args_s = (params_c, bn_c, *d1, vlong[:K_SHORT])
+    args_l = (params_c, bn_c, *d1, vlong)
+    float(chain(*args_s)), float(chain(*args_l))
+    lat_s, lat_l = [], []
+    for _ in range(10):
         t0 = time.perf_counter()
-        float(chain(*args1))
-        lats.append(max(time.perf_counter() - t0 - rtt, 0.0) / K_LAT)
-    p50_ms = float(np.percentile(lats, 50) * 1e3)
+        float(chain(*args_s))
+        lat_s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(chain(*args_l))
+        lat_l.append(time.perf_counter() - t0)
+    p50_ms = max(
+        float(np.median(lat_l)) - float(np.median(lat_s)), 0.0
+    ) / (K_LONG - K_SHORT) * 1e3
 
     # ---- host input pipeline: steady-state ms per batch-32 (record/beat
     # caches warm — the state every epoch after the first runs in). The train
