@@ -90,6 +90,15 @@ def get_default_cfg() -> Node:
     # forward + custom-VJP backward, ops/pallas/decoder_train.py; gradient
     # parity pinned by tests/test_pallas_train_decoder.py)
     cfg.TPU.train_decoder = "xla"
+    # train-step encoder: "xla" | "fused" (whole encode chain — tower, gate,
+    # w/z convs, roi_align, z2_conv2 — as one Pallas forward + recomputing
+    # custom-VJP backward, ops/pallas/encoder_fused.py; gradient parity
+    # pinned by tests/test_pallas_encoder.py). Requires batch % 8 == 0 and
+    # bfloat16 compute on real hardware (VMEM; see encoder_vmem_bytes_estimate)
+    cfg.TPU.train_encoder = "xla"
+    # eval/val encoder: "xla" | "fused" (forward-only fused encoder kernel;
+    # needs batch % 8 == 0 on hardware)
+    cfg.TPU.eval_encoder = "xla"
     # PRNG implementation for the TRAINING rng stream (dropout masks, standin
     # shuffles): "rbg" rides the TPU hardware RNG (~3.7x faster per dropout
     # mask than threefry — 44 -> 12 us on [32, 384, 128]); "threefry2x32" is

@@ -238,6 +238,7 @@ def nefnet_apply(
     bn_axis: str | None = None,
     rest_decode_fn=None,
     train_decode_fn=None,
+    encode_fn=None,
 ):
     """Full forward, reference-parity (model_nefnet.py:109-194).
 
@@ -256,6 +257,11 @@ def nefnet_apply(
     train branch — the Solver injects the fused Pallas TRAINING decoder
     (forward + custom VJP, ops/pallas/decoder_train.py) here. `stacked` is
     the group-major [3B, 256, 128] gated latent.
+
+    `encode_fn(p, x, input_thetas, rois, rng=..., train=...) -> NefNetLatents`,
+    when given, replaces `encode_latents` — the Solver injects the fused
+    Pallas ENCODER (forward + custom VJP, ops/pallas/encoder_fused.py) here.
+    The gen phase keeps the XLA encode (it needs the pre-reverse early return).
     """
     train = phase == "train"
     if phase == "gen":
@@ -269,10 +275,13 @@ def nefnet_apply(
         raise KeyError("please type correct phase")
 
     enc_rng, shuf_rng = (jax.random.split(rng) if rng is not None else (None, None))
-    lat = encode_latents(
-        p, x, input_thetas, rois, lead_num=lead_num,
-        theta_encoder_len=theta_encoder_len, rng=enc_rng, train=train,
-    )
+    if encode_fn is not None:
+        lat = encode_fn(p, x, input_thetas, rois, rng=enc_rng, train=train)
+    else:
+        lat = encode_latents(
+            p, x, input_thetas, rois, lead_num=lead_num,
+            theta_encoder_len=theta_encoder_len, rng=enc_rng, train=train,
+        )
     B = x.shape[0]
     L = lead_num
 

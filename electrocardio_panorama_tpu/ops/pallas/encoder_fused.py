@@ -1,0 +1,809 @@
+"""Fused Pallas ENCODER — the whole Nef-Net encode chain in one VMEM-resident
+kernel, forward + recompute-backward (custom VJP).
+
+Motivation (measured, docs/KERNELS.md + ROUND_NOTES): the encode side of the
+train step costs 1.69 ms fwd+bwd at batch 32 bf16, of which only ~0.44 ms is
+conv FLOPs — the rest is inter-op glue (dropout masks, residual/relu
+elementwise, backward saved-activation HBM traffic, fusion-boundary
+scheduling) that no per-op improvement can reach. This kernel runs the chain
+
+    conv1(k15,s2) -> relu -> maxpool(k3,s2) -> 3x BasicBlock(k7)      [tower]
+    -> x gate1 -> w_conv(k3) -> split z1/z2 -> z1_conv / z2_conv1
+    -> roi_align (closed form) -> z2_conv2.{0,1,2}                    [z-block]
+
+entirely in VMEM per batch tile (reference codes/network/encoder/resnet_1d.py
+conv1/layer1, codes/network/model_nefnet.py:109-137), emitting z1 and the
+pre-reverse z2 grid. roi_reverse + the lead means stay in XLA (they are single
+MXU matmuls / trivial reductions already, ops/roi.py).
+
+Design notes (all TPU-layout driven):
+  * Grid over the batch: each program owns `nb` samples; every activation is
+    [groups, C, nb*t] with per-sample time segments on the LANE axis, so k3/k7
+    convs are tap-shifted batched matmuls (the decoder kernels' pattern) and
+    sample boundaries are iota-mod masks — no padding, no dynamic shapes.
+  * conv1 (k15, stride 2) runs in POLYPHASE form: the input is pre-split into
+    its 4 phases mod 4, so each of the 15 taps is a small lane shift of one
+    phase and the conv is one [128,16]x[16,nb*128] matmul per output parity —
+    the stride never materializes a length-512 axis in the kernel (the same
+    trick as the decode-side polyphase upsample, docs/KERNELS.md).
+  * maxpool(k3,s2,p1) consumes the two conv1 parities directly:
+    out[t] = max(odd[t-1], even[t], odd[t]) — no deinterleave. The backward
+    routes to the FIRST maximal window slot (torch tie semantics).
+  * Dropout masks are PRE-SCALED (0 or 1/keep) inputs drawn by the caller in
+    kernel layout — keeps the kernel pure and per-seed deterministic, and the
+    gradient parity test can feed both paths identical masks.
+  * roi_align's closed form (midpoint x ramp, ops/roi.py) is two tiny matmuls
+    plus an outer product; the ROI ramp arrives precomputed from the rois.
+  * The z2_conv2 group structure (groups = 7L over the torch row-major
+    (channel, segment) flattening — 7 does not divide 128, so groups mix
+    channels ACROSS segments; models/nefnet.py parity note) is reproduced by
+    materializing the align output in exactly that flat order before the
+    batched per-group dots.
+  * The backward kernel RECOMPUTES the forward in VMEM (inputs are the only
+    residuals — no activation HBM traffic in either direction) and emits
+    dgate plus every weight/bias grad, accumulated across the batch grid.
+    x, masks, and the ramp get symbolic-zero cotangents (x is data; masks and
+    rois are not loss paths).
+
+dtype policy matches the decoder kernels: storage dtype follows the input
+(bf16 under the mixed-precision step), every matmul accumulates f32
+(HIGHEST precision for f32 operands), biases are f32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from electrocardio_panorama_tpu.ops.pallas.decoder_fused import (
+    VMEM_LIMIT_BYTES,
+    _dot_f32,
+)
+
+FEAT = 128
+SEQ = 512
+ALIGN = 16
+SEGS = 7
+KEEP = 0.8  # 1 - blocks.DROPOUT_RATE
+NEG = -1e30
+
+
+# --------------------------------------------------------------- weight packing
+def pack_encoder_weights(params: dict, lead_num: int, dtype=jnp.float32) -> dict:
+    """Tap-major batched conv weights + f32 biases from the flat torch-keyed
+    param dict (W_encoder.*, w_conv.*, z1_conv.*, z2_conv1.*, z2_conv2.* —
+    models/nefnet.py init). Differentiable (plain transposes/reshapes), so AD
+    routes the kernel's packed grads back to the torch-keyed tree."""
+    L = lead_num
+    G7 = SEGS * L
+    f32 = jnp.float32
+
+    def gpack(key, groups):
+        # [Cout, Cin/g, K] -> [K, g, Cout/g, Cin/g]
+        wt = params[key]
+        co, ci, K = wt.shape
+        return wt.reshape(groups, co // groups, ci, K).transpose(3, 0, 1, 2).astype(dtype)
+
+    w = {}
+    c1 = params["W_encoder.conv1.weight"].reshape(L, FEAT, 15)
+    w["c1w"] = jnp.pad(c1, ((0, 0), (0, 0), (0, 1))).astype(dtype)  # [L,128,16]
+    for b in range(3):
+        w[f"l{b}c1"] = gpack(f"W_encoder.layer1.{b}.conv1.weight", L)  # [7,L,128,128]
+        w[f"l{b}c2"] = gpack(f"W_encoder.layer1.{b}.conv2.weight", L)
+    w["wcw1"] = gpack("w_conv.0.conv1.weight", L)  # [3,L,128,128]
+    w["wcw2"] = gpack("w_conv.0.conv2.weight", L)
+    for nm, pfx in (("z1", "z1_conv.0"), ("z2", "z2_conv1.0")):
+        w[f"{nm}w1"] = gpack(f"{pfx}.conv1.weight", L)  # [3,L,128,64]
+        w[f"{nm}w2"] = gpack(f"{pfx}.conv2.weight", L)  # [3,L,128,128]
+        w[f"{nm}wr"] = gpack(f"{pfx}.residual_conv.weight", L)[0]  # [L,128,64]
+        w[f"{nm}br"] = params[f"{pfx}.residual_conv.bias"].reshape(L, FEAT).astype(f32)
+    w["c20w1"] = gpack("z2_conv2.0.conv1.weight", G7)  # [3,G7,128,128]
+    w["c20w2"] = gpack("z2_conv2.0.conv2.weight", G7)
+    # ConvTranspose1d(k2,s2) torch layout [Cin, Cout/g, 2] -> [2, G7, 64, 128]
+    wt = params["z2_conv2.1.weight"].reshape(G7, FEAT, 64, 2)
+    w["wt"] = wt.transpose(3, 0, 2, 1).astype(dtype)
+    w["bt"] = params["z2_conv2.1.bias"].reshape(G7, 64).astype(f32)
+    w["c22w1"] = gpack("z2_conv2.2.conv1.weight", G7)  # [3,G7,128,64]
+    w["c22w2"] = gpack("z2_conv2.2.conv2.weight", G7)  # [3,G7,128,128]
+    w["c22wr"] = gpack("z2_conv2.2.residual_conv.weight", G7)[0]  # [G7,128,64]
+    w["c22br"] = params["z2_conv2.2.residual_conv.bias"].reshape(G7, FEAT).astype(f32)
+    return w
+
+
+_WNAMES = (
+    "c1w", "l0c1", "l0c2", "l1c1", "l1c2", "l2c1", "l2c2",
+    "wcw1", "wcw2",
+    "z1w1", "z1w2", "z1wr", "z1br",
+    "z2w1", "z2w2", "z2wr", "z2br",
+    "c20w1", "c20w2", "wt", "bt",
+    "c22w1", "c22w2", "c22wr", "c22br",
+)
+
+
+# -------------------------------------------------------------- host-side prep
+def prep_encoder_inputs(x, gate1, ramp_bs):
+    """Kernel-layout inputs from model-layout tensors (cheap XLA reshapes).
+
+    x [B,L,512]; gate1 [B,L,128]; ramp_bs [B,7,16] (roi_align_ramp output).
+    Returns xph [L,4,B*128] (4 phases mod 4 of the time axis), gate_exp
+    [L,128,B*128] (per-channel gate broadcast over time), ramp [7,B*16]."""
+    B, L, _ = x.shape
+    xph = (
+        x.transpose(1, 0, 2).reshape(L, B, FEAT, 4).transpose(0, 3, 1, 2)
+        .reshape(L, 4, B * FEAT)
+    )
+    gexp = jnp.broadcast_to(
+        gate1.transpose(1, 2, 0)[..., None], (L, FEAT, B, FEAT)
+    ).reshape(L, FEAT, B * FEAT).astype(x.dtype)
+    ramp = ramp_bs.transpose(1, 0, 2).reshape(SEGS, B * ALIGN).astype(x.dtype)
+    return xph, gexp, ramp
+
+
+def _mid_matrix(nb: int) -> np.ndarray:
+    """[nb*128, nb]: roi_align midpoint 0.5*(x[63]+x[64]) per sample."""
+    m = np.zeros((nb * FEAT, nb), np.float32)
+    for s in range(nb):
+        m[s * FEAT + FEAT // 2 - 1, s] = 0.5
+        m[s * FEAT + FEAT // 2, s] = 0.5
+    return m
+
+
+def _bcast16(nb: int) -> np.ndarray:
+    """[nb, nb*16]: lane-broadcast of one per-sample value over 16 slots."""
+    b = np.zeros((nb, nb * ALIGN), np.float32)
+    for s in range(nb):
+        b[s, s * ALIGN:(s + 1) * ALIGN] = 1.0
+    return b
+
+
+def _ilv_mats(nb: int) -> np.ndarray:
+    """[2, nb*16, nb*32]: per-sample ConvTranspose(k2,s2) interleave — column
+    (s, 2u+k) of U_k picks row (s, u)."""
+    u = np.zeros((2, nb * ALIGN, nb * 2 * ALIGN), np.float32)
+    for k in range(2):
+        for s in range(nb):
+            for t in range(ALIGN):
+                u[k, s * ALIGN + t, s * 2 * ALIGN + 2 * t + k] = 1.0
+    return u
+
+
+# ----------------------------------------------------------- kernel primitives
+def _shiftn(h, s: int, t: int):
+    """out[..., i] = h[..., i+s] within each length-t lane segment, 0 outside."""
+    if s == 0:
+        return h
+    n = h.shape[-1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1,) * (h.ndim - 1) + (n,), h.ndim - 1) % t
+    if s > 0:
+        sh = jnp.concatenate([h[..., s:], jnp.zeros(h.shape[:-1] + (s,), h.dtype)], axis=-1)
+        m = pos < t - s
+    else:
+        sh = jnp.concatenate([jnp.zeros(h.shape[:-1] + (-s,), h.dtype), h[..., :n + s]], axis=-1)
+        m = pos >= -s
+    return sh * m.astype(h.dtype)
+
+
+def _bdot(w, h):
+    """[G,Co,Ci] x [G,Ci,N] -> [G,Co,N] f32-accumulating batched dot."""
+    prec = jax.lax.Precision.HIGHEST if w.dtype == jnp.float32 else None
+    return jax.lax.dot_general(
+        w, h.astype(w.dtype), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+
+
+def _bdotT(w, d):
+    """[G,Co,Ci] x [G,Co,N] -> [G,Ci,N] (transpose-contract over Co)."""
+    prec = jax.lax.Precision.HIGHEST if w.dtype == jnp.float32 else None
+    return jax.lax.dot_general(
+        w, d.astype(w.dtype), (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+
+
+def _odw(dy, x, od):
+    """[G,Co,N] x [G,Ci,N] -> [G,Co,Ci] (contract lanes): 1x1-conv / per-tap
+    weight grad."""
+    prec = jax.lax.Precision.HIGHEST if od == jnp.float32 else None
+    return jax.lax.dot_general(
+        dy.astype(od), x.astype(od), (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+
+
+def _gconv(h, w, t: int):
+    """Grouped k-tap conv over lane segments: sum_k w[k] @ shift_{k-c}(h).
+    h [G,Ci,N], w [K,G,Co,Ci] -> [G,Co,N] f32 (pre-activation, no bias)."""
+    K = w.shape[0]
+    c = K // 2
+    acc = None
+    for k in range(K):
+        y = _bdot(w[k], _shiftn(h, k - c, t))
+        acc = y if acc is None else acc + y
+    return acc
+
+
+def _gconv_dh(dy, w, t: int):
+    """dh = sum_k shift_{c-k}(w[k]^T @ dy). dy f32 -> f32."""
+    K = w.shape[0]
+    c = K // 2
+    acc = None
+    for k in range(K):
+        y = _shiftn(_bdotT(w[k], dy), c - k, t)
+        acc = y if acc is None else acc + y
+    return acc
+
+
+def _gconv_dw(dy, h, K: int, t: int, od):
+    """dW[k] = dy (contract N) shift_{k-c}(h). Returns [K,G,Co,Ci] f32."""
+    c = K // 2
+    return jnp.stack([_odw(dy, _shiftn(h, k - c, t), od) for k in range(K)])
+
+
+def _patches(xl, off: int, nb: int):
+    """conv1 polyphase patch rows for one lead: 15 tap rows (+1 zero pad row)
+    of the phase-split input. xl [4, nb*128]; off=0 -> even outputs (src
+    4t+k-7), off=2 -> odd outputs (src 4t+k-5). -> [16, nb*128].
+
+    Assembled as sum_m SEL_m @ shift_m(xl) with one-hot tap selectors: row
+    slices like xl[q:q+1] carry a SUBLANE offset, and Mosaic rejects the
+    lane-concats _shiftn would then do ("offset mismatch on non-concat
+    dimension"); full-array shifts + tiny selector matmuls keep every
+    operand at offset 0."""
+    sels: dict[int, list] = {}
+    for k in range(15):
+        d = k - 7 + off
+        q = d % 4
+        m = (d - q) // 4
+        sels.setdefault(m, []).append((k, q))
+    r = jax.lax.broadcasted_iota(jnp.int32, (16, 4), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (16, 4), 1)
+    acc = None
+    for m, pairs in sorted(sels.items()):
+        hit = None
+        for k, q in pairs:  # iota-built one-hots (pallas kernels cannot
+            t = (r == k) & (c == q)  # capture host array constants)
+            hit = t if hit is None else hit | t
+        y = _dot_f32(hit.astype(xl.dtype), _shiftn(xl, m, FEAT))
+        acc = y if acc is None else acc + y
+    return acc.astype(xl.dtype)
+
+
+# ----------------------------------------------------------------- fwd stages
+def _relu(a):
+    return jnp.maximum(a, 0.0)
+
+
+def _stages(xph, gexp, ramp, mmid, bm16, u0, u1, masks, w, *, L, nb, train):
+    """Shared forward chain; returns every intermediate the backward needs.
+    masks = (m6, mc20, mc22) pre-scaled dropout masks, or None in eval."""
+    sd = gexp.dtype
+    n = nb * FEAT
+    G7 = SEGS * L
+    X16, X32 = nb * ALIGN, nb * 2 * ALIGN
+    m6, mc20, mc22 = masks if train else (None, None, None)
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) % FEAT
+    neg = jnp.asarray(NEG, sd)
+
+    # tower: conv1 polyphase + relu + maxpool(odd[t-1], even[t], odd[t])
+    ae_l, ao_l, pooled_l = [], [], []
+    for l in range(L):
+        pe = _patches(xph[l], 0, nb)
+        po = _patches(xph[l], 2, nb)
+        ae = _relu(_dot_f32(w["c1w"][l], pe)).astype(sd)
+        ao = _relu(_dot_f32(w["c1w"][l], po)).astype(sd)
+        o_prev = jnp.where(pos == 0, neg, _shiftn(ao, -1, FEAT))
+        pooled_l.append(jnp.maximum(jnp.maximum(o_prev, ae), ao)[None])
+        ae_l.append(ae)
+        ao_l.append(ao)
+    h = jnp.concatenate(pooled_l, axis=0)  # [L,128,n]
+
+    hs, r1s, r1ms = [h], [], []
+    for b in range(3):
+        r1 = _relu(_gconv(h, w[f"l{b}c1"], FEAT)).astype(sd)
+        r1m = r1 * m6[b] if train else r1
+        h = _relu(_gconv(r1m, w[f"l{b}c2"], FEAT) + h.astype(jnp.float32)).astype(sd)
+        hs.append(h)
+        r1s.append(r1)
+        r1ms.append(r1m)
+
+    # gate + w_conv (identity residual)
+    hg = (h * gexp).astype(sd)
+    wr1 = _relu(_gconv(hg, w["wcw1"], FEAT)).astype(sd)
+    wr1m = wr1 * m6[3] if train else wr1
+    hw = _relu(_gconv(wr1m, w["wcw2"], FEAT) + hg.astype(jnp.float32)).astype(sd)
+
+    # split + z1_conv / z2_conv1 (1x1-conv residual, bias)
+    z1h, z2h = hw[:, :64], hw[:, 64:]
+
+    def zblock(zin, nm, mask):
+        zr1 = _relu(_gconv(zin, w[f"{nm}w1"], FEAT)).astype(sd)
+        zr1m = zr1 * mask if train else zr1
+        out = _relu(
+            _gconv(zr1m, w[f"{nm}w2"], FEAT)
+            + _bdot(w[f"{nm}wr"], zin)
+            + w[f"{nm}br"][:, :, None]
+        ).astype(sd)
+        return zr1, zr1m, out
+
+    zr11, zr1m1, z1f = zblock(z1h, "z1", m6[4] if train else None)
+    zr12, zr1m2, z2f = zblock(z2h, "z2", m6[5] if train else None)
+
+    # roi_align closed form -> flat (lead, channel, segment) order
+    mid = _dot_f32(z2f.reshape(L * FEAT, n), mmid)  # [L*128, nb]
+    midx = _dot_f32(mid.astype(sd), bm16)  # [L*128, X16]
+    mid_rep = jnp.broadcast_to(
+        midx[:, None, :], (L * FEAT, SEGS, X16)
+    ).reshape(L * FEAT * SEGS, X16)
+    ramp_t = pltpu.repeat(ramp.astype(jnp.float32), L * FEAT, axis=0)  # [L*128*7, X16]
+    A = (mid_rep * ramp_t).astype(sd).reshape(G7, FEAT, X16)
+
+    # z2_conv2.0 (identity residual)
+    c1 = _relu(_gconv(A, w["c20w1"], ALIGN)).astype(sd)
+    c1m = c1 * mc20 if train else c1
+    Hc = _relu(_gconv(c1m, w["c20w2"], ALIGN) + A.astype(jnp.float32)).astype(sd)
+
+    # ConvTranspose1d(k2,s2): batched channel dots + per-sample interleave
+    y0 = _bdot(w["wt"][0], Hc).astype(sd).reshape(G7 * 64, X16)
+    y1 = _bdot(w["wt"][1], Hc).astype(sd).reshape(G7 * 64, X16)
+    ht = (_dot_f32(y0, u0) + _dot_f32(y1, u1)).reshape(G7, 64, X32) \
+        + w["bt"][:, :, None]
+    Ht = ht.astype(sd)
+
+    # z2_conv2.2 (1x1-conv residual, bias)
+    c2 = _relu(_gconv(Ht, w["c22w1"], 2 * ALIGN)).astype(sd)
+    c2m = c2 * mc22 if train else c2
+    z2g = _relu(
+        _gconv(c2m, w["c22w2"], 2 * ALIGN)
+        + _bdot(w["c22wr"], Ht)
+        + w["c22br"][:, :, None]
+    ).astype(sd)
+
+    return dict(
+        ae=ae_l, ao=ao_l, hs=hs, r1s=r1s, r1ms=r1ms,
+        hg=hg, wr1=wr1, wr1m=wr1m, hw=hw,
+        zr11=zr11, zr1m1=zr1m1, z1f=z1f, zr12=zr12, zr1m2=zr1m2, z2f=z2f,
+        A=A, c1=c1, c1m=c1m, Hc=Hc, Ht=Ht, c2=c2, c2m=c2m, z2g=z2g,
+        ramp_t=ramp_t, pos=pos, neg=neg,
+    )
+
+
+# --------------------------------------------------------------- fwd/bwd kernels
+def _unpack_w(wrefs):
+    return {nm: r[...] for nm, r in zip(_WNAMES, wrefs)}
+
+
+def _fwd_kernel(*refs, L, nb, train):
+    nin = 7 + (3 if train else 0)
+    xph, gexp, ramp, mmid, bm16, u0, u1 = (r[...] for r in refs[:7])
+    masks = tuple(r[...] for r in refs[7:nin]) if train else None
+    wrefs = refs[nin:nin + len(_WNAMES)]
+    z1_ref, z2g_ref = refs[nin + len(_WNAMES):]
+    st = _stages(xph, gexp, ramp, mmid, bm16, u0, u1, masks,
+                 _unpack_w(wrefs), L=L, nb=nb, train=train)
+    z1_ref[...] = st["z1f"]
+    G7 = SEGS * L
+    z2g_ref[...] = st["z2g"].reshape(G7 * FEAT, nb * 2 * ALIGN)
+
+
+def _acc(ref, val):
+    val = val.astype(ref.dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        ref[...] = val
+
+    @pl.when(pl.program_id(0) != 0)
+    def _():
+        ref[...] = ref[...] + val
+
+
+_GNAMES = (
+    "c1w", "l0c1", "l0c2", "l1c1", "l1c2", "l2c1", "l2c2",
+    "wcw1", "wcw2",
+    "z1w1", "z1w2", "z1wr", "z1br",
+    "z2w1", "z2w2", "z2wr", "z2br",
+    "c20w1", "c20w2", "wt", "bt",
+    "c22w1", "c22w2", "c22wr", "c22br",
+)
+
+
+def _bwd_kernel(*refs, L, nb):
+    """Recompute the forward, then walk the chain backwards emitting dgate
+    plus every weight/bias grad (grid-accumulated)."""
+    (xph, gexp, ramp, mmid, bm16, u0, u1, mmidT, bm16T, u0T, u1T) = (
+        r[...] for r in refs[:11]
+    )
+    m6, mc20, mc22 = (r[...] for r in refs[11:14])
+    wrefs = refs[14:14 + len(_WNAMES)]
+    dz1_ref, dz2g_ref = refs[14 + len(_WNAMES):16 + len(_WNAMES)]
+    douts = refs[16 + len(_WNAMES):]
+    dgexp_ref = douts[0]
+    grefs = dict(zip(_GNAMES, douts[1:]))
+
+    w = _unpack_w(wrefs)
+    f32 = jnp.float32
+    od = w["wcw2"].dtype
+    n = nb * FEAT
+    G7 = SEGS * L
+    X16, X32 = nb * ALIGN, nb * 2 * ALIGN
+    st = _stages(xph, gexp, ramp, mmid, bm16, u0, u1, (m6, mc20, mc22),
+                 w, L=L, nb=nb, train=True)
+
+    dz1 = dz1_ref[...].astype(f32)
+    dz2g = dz2g_ref[...].reshape(G7, FEAT, X32).astype(f32)
+
+    # ---- z2_conv2.2
+    da = dz2g * (st["z2g"] > 0)
+    _acc(grefs["c22w2"], _gconv_dw(da, st["c2m"], 3, 2 * ALIGN, od))
+    _acc(grefs["c22wr"], _odw(da, st["Ht"], od))
+    _acc(grefs["c22br"], jnp.sum(da, axis=2))
+    da1 = _gconv_dh(da, w["c22w2"], 2 * ALIGN)
+    da1 = da1 * mc22 * (st["c2"] > 0)
+    _acc(grefs["c22w1"], _gconv_dw(da1, st["Ht"], 3, 2 * ALIGN, od))
+    dHt = _gconv_dh(da1, w["c22w1"], 2 * ALIGN) + _bdotT(w["c22wr"], da)
+
+    # ---- ConvTranspose
+    _acc(grefs["bt"], jnp.sum(dHt, axis=2))
+    dflat = dHt.reshape(G7 * 64, X32).astype(od)
+    dy0 = _dot_f32(dflat, u0T).reshape(G7, 64, X16)
+    dy1 = _dot_f32(dflat, u1T).reshape(G7, 64, X16)
+    _acc(grefs["wt"], jnp.stack([_odw(dy0, st["Hc"], od), _odw(dy1, st["Hc"], od)]))
+    dHc = _bdotT(w["wt"][0], dy0) + _bdotT(w["wt"][1], dy1)
+
+    # ---- z2_conv2.0
+    da = dHc * (st["Hc"] > 0)
+    _acc(grefs["c20w2"], _gconv_dw(da, st["c1m"], 3, ALIGN, od))
+    da1 = _gconv_dh(da, w["c20w2"], ALIGN)
+    da1 = da1 * mc20 * (st["c1"] > 0)
+    _acc(grefs["c20w1"], _gconv_dw(da1, st["A"], 3, ALIGN, od))
+    dA = _gconv_dh(da1, w["c20w1"], ALIGN) + da  # identity residual
+
+    # ---- roi_align closed form
+    fA = dA.reshape(L * FEAT * SEGS, X16) * st["ramp_t"]
+    dmidx = fA.reshape(L * FEAT, SEGS, X16).sum(axis=1)
+    dmid = _dot_f32(dmidx.astype(od), bm16T)  # [L*128, nb]
+    dz2f = _dot_f32(dmid.astype(od), mmidT).reshape(L, FEAT, n)
+
+    # ---- z1_conv / z2_conv1 (shared structure)
+    z1h, z2h = st["hw"][:, :64], st["hw"][:, 64:]
+
+    def zblock_bwd(dout, nm, zin, zr1, zr1m, zf, mask):
+        da = dout * (zf > 0)
+        _acc(grefs[f"{nm}w2"], _gconv_dw(da, zr1m, 3, FEAT, od))
+        _acc(grefs[f"{nm}wr"], _odw(da, zin, od))
+        _acc(grefs[f"{nm}br"], jnp.sum(da, axis=2))
+        da1 = _gconv_dh(da, w[f"{nm}w2"], FEAT) * mask * (zr1 > 0)
+        _acc(grefs[f"{nm}w1"], _gconv_dw(da1, zin, 3, FEAT, od))
+        return _gconv_dh(da1, w[f"{nm}w1"], FEAT) + _bdotT(w[f"{nm}wr"], da)
+
+    dz1h = zblock_bwd(dz1, "z1", z1h, st["zr11"], st["zr1m1"], st["z1f"], m6[4])
+    dz2h = zblock_bwd(dz2f, "z2", z2h, st["zr12"], st["zr1m2"], st["z2f"], m6[5])
+    dhw = jnp.concatenate([dz1h, dz2h], axis=1)  # [L,128,n]
+
+    # ---- w_conv
+    da = dhw * (st["hw"] > 0)
+    _acc(grefs["wcw2"], _gconv_dw(da, st["wr1m"], 3, FEAT, od))
+    da1 = _gconv_dh(da, w["wcw2"], FEAT) * m6[3] * (st["wr1"] > 0)
+    _acc(grefs["wcw1"], _gconv_dw(da1, st["hg"], 3, FEAT, od))
+    dhg = _gconv_dh(da1, w["wcw1"], FEAT) + da
+
+    # ---- gate
+    h3 = st["hs"][3].astype(f32)
+    dgexp_ref[...] = (dhg * h3).astype(dgexp_ref.dtype)
+    dh = dhg * gexp.astype(f32)
+
+    # ---- layer1
+    for b in reversed(range(3)):
+        da2 = dh * (st["hs"][b + 1] > 0)
+        _acc(grefs[f"l{b}c2"], _gconv_dw(da2, st["r1ms"][b], 7, FEAT, od))
+        da1 = _gconv_dh(da2, w[f"l{b}c2"], FEAT) * m6[b] * (st["r1s"][b] > 0)
+        _acc(grefs[f"l{b}c1"], _gconv_dw(da1, st["hs"][b], 7, FEAT, od))
+        dh = _gconv_dh(da1, w[f"l{b}c1"], FEAT) + da2
+
+    # ---- maxpool (first-max tie routing) + conv1 weight grad
+    pos, neg = st["pos"], st["neg"]
+    dc1_l = []
+    for l in range(L):
+        ae, ao = st["ae"][l], st["ao"][l]
+        pooled = st["hs"][0][l]
+        o_prev = jnp.where(pos == 0, neg, _shiftn(ao, -1, FEAT))
+        m1 = o_prev == pooled
+        m2 = (ae == pooled) & ~m1
+        m3 = (ao == pooled) & ~m1 & ~m2
+        dpool = dh[l]
+        da_e = dpool * m2 * (ae > 0)
+        da_o = (dpool * m3 + _shiftn(dpool * m1.astype(f32), 1, FEAT)) * (ao > 0)
+        pe = _patches(xph[l], 0, nb).astype(od)
+        po = _patches(xph[l], 2, nb).astype(od)
+        prec = jax.lax.Precision.HIGHEST if od == jnp.float32 else None
+        dce = jax.lax.dot_general(
+            da_e.astype(od), pe, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=prec,
+        )
+        dco = jax.lax.dot_general(
+            da_o.astype(od), po, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=prec,
+        )
+        dc1_l.append((dce + dco)[None])
+    _acc(grefs["c1w"], jnp.concatenate(dc1_l, axis=0))
+
+
+# ------------------------------------------------------------------ call layer
+def encoder_vmem_bytes_estimate(nb: int, L: int, itemsize: int = 2,
+                                bwd: bool = True) -> int:
+    """Conservative per-program VMEM footprint at batch tile `nb`.
+
+    Backward (the wider of the pair): ~26 live [L,128,nb*128]-class planes
+    (recomputed forward intermediates + masks + f32 grad transients) plus the
+    z2_conv2 stage planes, storage-dtype weights, and f32 weight-grad
+    accumulators. Forward keeps only the double-buffered streaming planes
+    (~14) and no grad state. bf16 nb=8 backward estimates ~80 MiB (under the
+    100 MiB budget); f32 backward does NOT fit at the minimum legal tile
+    (nb=8 -> ~121 MiB), so on-chip fused-encoder TRAINING is bf16-only —
+    the f32 parity tests run in interpret mode where no VMEM exists."""
+    n = nb * FEAT
+    plane = L * FEAT * n
+    zplane = SEGS * L * FEAT * nb * ALIGN
+    welems = (
+        L * FEAT * 16
+        + 6 * 7 * L * FEAT * FEAT
+        + 4 * 3 * L * FEAT * FEAT
+        + 2 * (3 * L * FEAT * 64 + 3 * L * FEAT * FEAT + L * FEAT * 64)
+        + 2 * 3 * SEGS * L * FEAT * FEAT
+        + 2 * SEGS * L * 64 * FEAT
+        + 3 * SEGS * L * FEAT * 64 + 3 * SEGS * L * FEAT * FEAT
+        + SEGS * L * FEAT * 64
+    )
+    consts = (nb * FEAT * nb + nb * nb * ALIGN + 4 * nb * ALIGN * nb * 2 * ALIGN) * 4
+    if bwd:
+        acts = (26 * plane + 14 * zplane) * itemsize + 6 * plane * 4
+        return acts + welems * (itemsize + 4) + 2 * consts
+    acts = (14 * plane + 10 * zplane) * itemsize
+    return acts + welems * itemsize + consts
+
+
+def _validate_nb(nb: int, L: int, itemsize: int, bwd: bool) -> None:
+    if nb % 8 != 0:
+        raise ValueError(f"fused encoder: batch tile nb={nb} must be a multiple of 8 "
+                         "(lane-dim blocks)")
+    est = encoder_vmem_bytes_estimate(nb, L, itemsize, bwd=bwd)
+    if est > VMEM_LIMIT_BYTES:
+        raise ValueError(
+            f"fused encoder: batch tile {nb} needs ~{est / 2**20:.0f} MiB of "
+            f"VMEM per program (> {VMEM_LIMIT_BYTES / 2**20:.0f} MiB budget); "
+            "use compute_dtype bfloat16 or TPU.train_encoder='xla' "
+            "(estimate: encoder_vmem_bytes_estimate)"
+        )
+
+
+def _consts(nb: int, sd):
+    mmid = jnp.asarray(_mid_matrix(nb), sd)
+    bm16 = jnp.asarray(_bcast16(nb), sd)
+    u = _ilv_mats(nb)
+    return mmid, bm16, jnp.asarray(u[0], sd), jnp.asarray(u[1], sd)
+
+
+def _block(shape, idx_axis, ndim):
+    """BlockSpec blocking one axis by grid index, whole on the others."""
+    def imap(g):
+        return tuple(g if i == idx_axis else 0 for i in range(ndim))
+    return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+
+def _fwd_call(w, xph, gexp, ramp, masks, *, L, nb, train, interpret):
+    sd = gexp.dtype
+    B = xph.shape[-1] // FEAT
+    if not interpret:
+        _validate_nb(nb, L, jnp.dtype(sd).itemsize, bwd=False)
+    if B % nb != 0:
+        raise ValueError(f"fused encoder: batch {B} not divisible by tile {nb}")
+    G = B // nb
+    G7 = SEGS * L
+    n = nb * FEAT
+    mmid, bm16, u0, u1 = _consts(nb, sd)
+    whole = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [
+        _block((L, 4, n), 2, 3),        # xph
+        _block((L, FEAT, n), 2, 3),     # gexp
+        _block((SEGS, nb * ALIGN), 1, 2),  # ramp
+        whole, whole, whole, whole,     # mmid bm16 u0 u1
+    ]
+    args = [xph, gexp, ramp, mmid, bm16, u0, u1]
+    if train:
+        m6, mc20, mc22 = masks
+        in_specs += [
+            _block((6, L, FEAT, n), 3, 4),
+            _block((G7, FEAT, nb * ALIGN), 2, 3),
+            _block((G7, FEAT, nb * 2 * ALIGN), 2, 3),
+        ]
+        args += [m6, mc20, mc22]
+    in_specs += [whole] * len(_WNAMES)
+    args += [w[nm] for nm in _WNAMES]
+    z1, z2g = pl.pallas_call(
+        functools.partial(_fwd_kernel, L=L, nb=nb, train=train),
+        grid=(G,),
+        in_specs=in_specs,
+        out_specs=[
+            _block((L, FEAT, n), 2, 3),
+            _block((G7 * FEAT, nb * 2 * ALIGN), 1, 2),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((L, FEAT, B * FEAT), sd),
+            jax.ShapeDtypeStruct((G7 * FEAT, B * 2 * ALIGN), sd),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES,
+        ),
+    )(*args)
+    return z1, z2g
+
+
+def _bwd_call(w, xph, gexp, ramp, masks, dz1, dz2g, *, L, nb, interpret):
+    sd = gexp.dtype
+    B = xph.shape[-1] // FEAT
+    if not interpret:
+        _validate_nb(nb, L, jnp.dtype(sd).itemsize, bwd=True)
+    G = B // nb
+    G7 = SEGS * L
+    n = nb * FEAT
+    mmid, bm16, u0, u1 = _consts(nb, sd)
+    m6, mc20, mc22 = masks
+    whole = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [
+        _block((L, 4, n), 2, 3),
+        _block((L, FEAT, n), 2, 3),
+        _block((SEGS, nb * ALIGN), 1, 2),
+        whole, whole, whole, whole,      # mmid bm16 u0 u1
+        whole, whole, whole, whole,      # transposes
+        _block((6, L, FEAT, n), 3, 4),
+        _block((G7, FEAT, nb * ALIGN), 2, 3),
+        _block((G7, FEAT, nb * 2 * ALIGN), 2, 3),
+    ]
+    in_specs += [whole] * len(_WNAMES)
+    in_specs += [
+        _block((L, FEAT, n), 2, 3),                   # dz1
+        _block((G7 * FEAT, nb * 2 * ALIGN), 1, 2),    # dz2g
+    ]
+    args = [xph, gexp, ramp, mmid, bm16, u0, u1,
+            mmid.T, bm16.T, u0.T, u1.T, m6, mc20, mc22]
+    args += [w[nm] for nm in _WNAMES]
+    args += [dz1.astype(sd), dz2g.astype(sd)]
+
+    out_specs = [_block((L, FEAT, n), 2, 3)]  # dgexp
+    out_shape = [jax.ShapeDtypeStruct((L, FEAT, B * FEAT), jnp.float32)]
+    for nm in _GNAMES:
+        shp = w[nm].shape
+        out_specs.append(pl.BlockSpec(shp, lambda g, _nd=len(shp): (0,) * _nd,
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct(shp, jnp.float32))
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, L=L, nb=nb),
+        grid=(G,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES,
+        ),
+    )(*args)
+    return outs
+
+
+# ------------------------------------------------------------------ custom VJP
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def encode_fused_train(static, w: dict, xph, gexp, ramp, m6, mc20, mc22):
+    """Fused training encode. static = (L, nb, interpret). Returns
+    (z1 [L,128,B*128], z2_grid_flat [7L*128, B*32]) in kernel layout."""
+    L, nb, interpret = static
+    return _fwd_call(w, xph, gexp, ramp, (m6, mc20, mc22),
+                     L=L, nb=nb, train=True, interpret=interpret)
+
+
+def _vjp_fwd(static, w, xph, gexp, ramp, m6, mc20, mc22):
+    L, nb, interpret = static
+    out = _fwd_call(w, xph, gexp, ramp, (m6, mc20, mc22),
+                    L=L, nb=nb, train=True, interpret=interpret)
+    return out, (w, xph, gexp, ramp, m6, mc20, mc22)
+
+
+def _vjp_bwd(static, res, cts):
+    L, nb, interpret = static
+    w, xph, gexp, ramp, m6, mc20, mc22 = res
+    dz1, dz2g = cts
+    outs = _bwd_call(w, xph, gexp, ramp, (m6, mc20, mc22), dz1, dz2g,
+                     L=L, nb=nb, interpret=interpret)
+    dgexp = outs[0].astype(gexp.dtype)
+    dw = {nm: g.astype(w[nm].dtype) for nm, g in zip(_GNAMES, outs[1:])}
+    zeros = jnp.zeros_like
+    return dw, zeros(xph), dgexp, zeros(ramp), zeros(m6), zeros(mc20), zeros(mc22)
+
+
+encode_fused_train.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def encode_fused_eval(w: dict, xph, gexp, ramp, *, L, nb=8, interpret=False):
+    """Eval-mode fused encode (no dropout): same kernel, mask-free signature."""
+    return _fwd_call(w, xph, gexp, ramp, None, L=L, nb=nb, train=False,
+                     interpret=interpret)
+
+
+# --------------------------------------------------------------- model adapter
+def draw_masks(rng, B: int, L: int, dtype):
+    """Pre-scaled dropout masks in kernel layout: (m6 [6,L,128,B*128],
+    mc20 [7L,128,B*16], mc22 [7L,128,B*32])."""
+    G7 = SEGS * L
+    k1, k2, k3 = jax.random.split(rng, 3)
+    scale = jnp.asarray(1.0 / KEEP, dtype)
+
+    def draw(k, shape):
+        return jax.random.bernoulli(k, KEEP, shape).astype(dtype) * scale
+
+    return (
+        draw(k1, (6, L, FEAT, B * FEAT)),
+        draw(k2, (G7, FEAT, B * ALIGN)),
+        draw(k3, (G7, FEAT, B * 2 * ALIGN)),
+    )
+
+
+def unpack_outputs(z1k, z2gk, L: int):
+    """Kernel-layout outputs -> model layout: z1 [B,128L,128],
+    z2_grid [B,128L,7,32]."""
+    B = z1k.shape[-1] // FEAT
+    z1 = z1k.reshape(L, FEAT, B, FEAT).transpose(2, 0, 1, 3).reshape(B, FEAT * L, FEAT)
+    z2_grid = (
+        z2gk.reshape(SEGS * L * FEAT, B, 2 * ALIGN).transpose(1, 0, 2)
+        .reshape(B, FEAT * L, SEGS, 2 * ALIGN)
+    )
+    return z1, z2_grid
+
+
+def make_fused_encode_fn(lead_num: int, theta_encoder_len: int = 1, *,
+                         nb: int = 8, interpret: bool = False):
+    """Build the `encode_fn` hook for models.nefnet.nefnet_apply: a drop-in
+    for encode_latents that runs the encoder through the fused kernel pair.
+    roi_reverse + lead means stay in XLA (single matmul / reductions)."""
+
+    def fn(p, x, input_thetas, rois, *, rng=None, train=False):
+        from electrocardio_panorama_tpu.models.nefnet import NefNetLatents
+        from electrocardio_panorama_tpu.ops import angular_encode, linear, roi_reverse_1d
+        from electrocardio_panorama_tpu.ops.roi import roi_align_ramp
+
+        L = lead_num
+        B = x.shape[0]
+        # hardware needs nb % 8 (lane-dim blocks); interpret mode has no
+        # tiling constraint, so shrink the tile to fit tiny (e.g. per-shard
+        # dryrun) batches instead of rejecting them
+        nb_eff = nb if (not interpret or B % nb == 0) else B
+        enc = angular_encode(input_thetas, theta_encoder_len)
+        gate1 = linear(enc, p["mlp1.weight"], p["mlp1.bias"])  # [B,L,128]
+        ramp_bs = roi_align_ramp(rois)
+        xph, gexp, ramp = prep_encoder_inputs(x, gate1, ramp_bs)
+        w = pack_encoder_weights(p, L, x.dtype)
+        if train:
+            if rng is None:
+                raise ValueError("fused encoder: train=True needs an rng for dropout")
+            m6, mc20, mc22 = draw_masks(rng, B, L, x.dtype)
+            z1k, z2gk = encode_fused_train((L, nb_eff, interpret), w, xph, gexp,
+                                           ramp, m6, mc20, mc22)
+        else:
+            z1k, z2gk = encode_fused_eval(w, xph, gexp, ramp, L=L, nb=nb_eff,
+                                          interpret=interpret)
+        z1, z2_grid = unpack_outputs(z1k, z2gk, L)
+        z2 = roi_reverse_1d(z2_grid, rois)
+        z1_mean = z1.reshape(B, L, FEAT, FEAT).mean(axis=1)
+        z2_mean = z2.reshape(B, L, FEAT, FEAT).mean(axis=1)
+        return NefNetLatents(
+            z1=z1, z2=z2, z1_mean=z1_mean, z2_mean=z2_mean,
+            latent_all=jnp.concatenate([z1_mean, z2_mean], axis=1),
+        )
+
+    return fn

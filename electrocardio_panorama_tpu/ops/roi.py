@@ -37,6 +37,25 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def roi_align_ramp(
+    rois: jnp.ndarray,
+    *,
+    size: int = 16,
+    spatial_scale: float = 128 / 512,
+    feat_len: int = 128,
+) -> jnp.ndarray:
+    """The per-segment sampling-weight ramp of `roi_align_1d`'s closed form:
+    the zero-padding bilinear weight of the ROI grid on the W=1 axis.
+
+    rois: [B, R, 2] -> [B, R, size] f32. Shared by the XLA align op and the
+    fused Pallas encoder (which consumes the ramp precomputed)."""
+    # ROI endpoints projected to (-1, 1): r * scale * 2/L - 1  (no truncation).
+    c = rois.astype(jnp.float32) * (spatial_scale * 2.0 / feat_len) - 1.0
+    frac = jnp.arange(size, dtype=jnp.float32) / (size - 1)  # torch.linspace
+    grid = c[..., 0:1] + (c[..., 1:2] - c[..., 0:1]) * frac  # [B, R, size]
+    return jnp.clip(1.0 - jnp.abs(grid) * 0.5, 0.0, None)
+
+
 def roi_align_1d(
     x: jnp.ndarray,
     rois: jnp.ndarray,
@@ -60,12 +79,7 @@ def roi_align_1d(
         mid = 0.5 * (x[..., L // 2 - 1] + x[..., L // 2])  # [B, C]
     else:
         mid = x[..., (L - 1) // 2]
-    # ROI endpoints projected to (-1, 1): r * scale * 2/L - 1  (no truncation).
-    c = rois.astype(jnp.float32) * (spatial_scale * 2.0 / L) - 1.0  # [B, R, 2]
-    frac = jnp.arange(size, dtype=jnp.float32) / (size - 1)  # torch.linspace
-    grid = c[..., 0:1] + (c[..., 1:2] - c[..., 0:1]) * frac  # [B, R, size]
-    # Zero-padded bilinear weight of the single in-bounds pixel on the W=1 axis.
-    w = jnp.clip(1.0 - jnp.abs(grid) * 0.5, 0.0, None)
+    w = roi_align_ramp(rois, size=size, spatial_scale=spatial_scale, feat_len=L)
     return (mid[:, :, None, None] * w[:, None, :, :]).astype(x.dtype)
 
 

@@ -70,6 +70,18 @@ def build_dp_train_step(model_def, cfg, tx, mesh: Mesh, axis: str = "data",
         )
     else:
         tdf = None
+    if getattr(cfg.TPU, "train_encoder", "xla") == "fused":
+        from electrocardio_panorama_tpu.ops.pallas.encoder_fused import (
+            make_fused_encode_fn)
+
+        # per-shard kernel: each device encodes its local batch slice
+        # (hardware needs local batch % 8; interpret shrinks the tile)
+        enc_fn = make_fused_encode_fn(
+            cfg.DATA.lead_num, cfg.MODEL.theta_L,
+            interpret=jax.devices()[0].platform == "cpu",
+        )
+    else:
+        enc_fn = None
 
     def local_step(params, bn_state, opt_state, rng, i1, i2,
                    data, input_theta, target_theta, rois, target_view, noise):
@@ -83,10 +95,11 @@ def build_dp_train_step(model_def, cfg, tx, mesh: Mesh, axis: str = "data",
                 p, d, it, tt = _cast((p, data, input_theta, target_theta))
             else:
                 d, it, tt = data, input_theta, target_theta
+            kw = {"encode_fn": enc_fn} if enc_fn is not None else {}
             (out, sp, sl), new_bn = model_def.apply(
                 p, bn_state, d, it, tt, rois,
                 phase="train", rng=rng, shuffle_idx=(i1, i2), bn_axis=axis,
-                train_decode_fn=tdf,
+                train_decode_fn=tdf, **kw,
             )
             if mixed:
                 out, sp, sl = cast_floats_f32((out, sp, sl))

@@ -170,6 +170,26 @@ class Solver:
             raise ValueError(
                 f"unknown TPU.train_decoder {train_dec!r} (use 'xla' or 'fused')"
             )
+        train_enc = getattr(cfg.TPU, "train_encoder", "xla")
+        if train_enc == "fused":
+            if cfg.MODEL.model != "model_nefnet":
+                raise ValueError(
+                    "TPU.train_encoder='fused' supports model_nefnet only "
+                    "(the fused encoder mirrors its per-lead tower/z-block)"
+                )
+            from electrocardio_panorama_tpu.ops.pallas.encoder_fused import (
+                make_fused_encode_fn)
+
+            enc_fn = make_fused_encode_fn(
+                cfg.DATA.lead_num, cfg.MODEL.theta_L,
+                interpret=jax.devices()[0].platform == "cpu",
+            )
+        elif train_enc == "xla":
+            enc_fn = None
+        else:
+            raise ValueError(
+                f"unknown TPU.train_encoder {train_enc!r} (use 'xla' or 'fused')"
+            )
 
         @partial(jax.jit, donate_argnums=(0, 1, 2))
         def step(params, bn_state, opt_state, rng, i1, i2,
@@ -180,10 +200,11 @@ class Solver:
                     data_c, it_c, tt_c = _cast((data, input_theta, target_theta))
                 else:
                     data_c, it_c, tt_c = data, input_theta, target_theta
+                kw = {"encode_fn": enc_fn} if enc_fn is not None else {}
                 (out, sp, sl), new_bn = model.apply(
                     p, bn_state, data_c, it_c, tt_c, rois,
                     phase="train", rng=rng, shuffle_idx=(i1, i2),
-                    train_decode_fn=tdf,
+                    train_decode_fn=tdf, **kw,
                 )
                 if mixed:
                     out, sp, sl = cast_floats_f32((out, sp, sl))
@@ -235,6 +256,21 @@ class Solver:
             storage = jnp.bfloat16 if dec == "fused_bf16" else jnp.float32
             v_tile = 16 if storage == jnp.bfloat16 else 8
             interpret = jax.devices()[0].platform == "cpu"
+        eval_enc = getattr(cfg.TPU, "eval_encoder", "xla")
+        if eval_enc == "fused":
+            from electrocardio_panorama_tpu.ops.pallas.encoder_fused import (
+                make_fused_encode_fn)
+
+            enc_fn = make_fused_encode_fn(
+                cfg.DATA.lead_num, cfg.MODEL.theta_L,
+                interpret=jax.devices()[0].platform == "cpu",
+            )
+        elif eval_enc == "xla":
+            enc_fn = None
+        else:
+            raise ValueError(
+                f"unknown TPU.eval_encoder {eval_enc!r} (use 'xla' or 'fused')"
+            )
 
         @jax.jit
         def step(params, bn_state, data, input_theta, target_theta, rois,
@@ -252,10 +288,11 @@ class Solver:
                         v_tile=v_tile, interpret=interpret,
                     )
 
+            kw = {"encode_fn": enc_fn} if enc_fn is not None else {}
             (out, sp, sl, rest_out), _ = model.apply(
                 params, bn_state, data, input_theta, target_theta, rois,
                 rest_theta, phase="test", shuffle_idx=(0, 0),
-                rest_decode_fn=rest_fn,
+                rest_decode_fn=rest_fn, **kw,
             )
             tv = target_view[:, None, :]
             # val-time loss tuple incl. the unsupervised term over the LAST 4

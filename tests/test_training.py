@@ -564,3 +564,57 @@ def test_eval_step_fused_decoder_matches_xla(cfg):
     np.testing.assert_allclose(tx["metrics"], tf["metrics"], atol=1e-3)
     np.testing.assert_allclose(tx["losses"], tf["losses"], atol=1e-3)
     np.testing.assert_allclose(tx["singlelead"], tf["singlelead"], atol=1e-3)
+
+
+def test_train_step_fused_encoder(cfg, tmp_path):
+    """TPU.train_encoder='fused': the train step rides the fused Pallas
+    encoder (forward + custom-VJP backward) end to end. Dropout streams
+    differ from the XLA path by design (masks are drawn in kernel layout),
+    so the step is compared statistically: finite loss, same loss scale,
+    highly correlated parameter update. Elementwise gradient parity under
+    IDENTICAL masks is pinned by tests/test_pallas_encoder.py."""
+    import jax.numpy as jnp
+
+    mcfg = cfg.clone()
+    mcfg.output_dir = str(tmp_path)
+    mcfg.desc = "fusedenc"
+    mcfg.SOLVER.epochs = 1
+    mcfg.DATA.batch_size = 8  # fused encoder batch tile constraint
+
+    train_ds = build_dataset(mcfg, "train")
+    dl = BeatLoader(train_ds, mcfg.DATA.batch_size, shuffle=False, drop_last=True, seed=3)
+    batch = next(iter(dl))
+    args = tuple(
+        jnp.asarray(batch[k])
+        for k in ("data", "input_theta", "target_theta", "rois", "target_view", "noise")
+    )
+
+    def one_step(c):
+        s = Solver(c, use_writer=False)
+        params, bn_state = s.model.init(jax.random.PRNGKey(0))
+        opt_state = s.tx.init(params)
+        return s._train_step(
+            params, bn_state, opt_state, jax.random.PRNGKey(1),
+            jnp.asarray(0), jnp.asarray(1), *args,
+        )
+
+    px, _, _, lx = one_step(mcfg.clone())
+
+    fcfg = mcfg.clone()
+    fcfg.TPU.train_encoder = "fused"
+    pf, _, _, lf = one_step(fcfg)
+
+    lx, lf = np.asarray(lx), np.asarray(lf)
+    assert np.isfinite(lf).all()
+    assert abs(lf[0] - lx[0]) / abs(lx[0]) < 0.2  # same scale, masks differ
+    dx = np.concatenate([np.ravel(v) for _, v in sorted(px.items())])
+    df = np.concatenate([np.ravel(v) for _, v in sorted(pf.items())])
+    assert np.corrcoef(dx, df)[0, 1] > 0.99
+
+
+def test_train_encoder_unknown_raises(cfg, tmp_path):
+    bad = cfg.clone()
+    bad.output_dir = str(tmp_path)
+    bad.TPU.train_encoder = "nope"
+    with pytest.raises(ValueError, match="train_encoder"):
+        Solver(bad, use_writer=False)
