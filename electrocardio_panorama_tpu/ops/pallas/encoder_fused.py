@@ -60,6 +60,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from electrocardio_panorama_tpu.models.blocks import DROPOUT_RATE
 from electrocardio_panorama_tpu.ops.pallas.decoder_fused import (
     VMEM_LIMIT_BYTES,
     _dot_f32,
@@ -69,7 +70,7 @@ FEAT = 128
 SEQ = 512
 ALIGN = 16
 SEGS = 7
-KEEP = 0.8  # 1 - blocks.DROPOUT_RATE
+KEEP = 1.0 - DROPOUT_RATE
 NEG = -1e30
 
 
@@ -773,7 +774,8 @@ def make_fused_encode_fn(lead_num: int, theta_encoder_len: int = 1, *,
     roi_reverse + lead means stay in XLA (single matmul / reductions)."""
 
     def fn(p, x, input_thetas, rois, *, rng=None, train=False):
-        from electrocardio_panorama_tpu.models.nefnet import NefNetLatents
+        from electrocardio_panorama_tpu.models.nefnet import (
+            NefNetLatents, encode_latents)
         from electrocardio_panorama_tpu.ops import angular_encode, linear, roi_reverse_1d
         from electrocardio_panorama_tpu.ops.roi import roi_align_ramp
 
@@ -783,6 +785,14 @@ def make_fused_encode_fn(lead_num: int, theta_encoder_len: int = 1, *,
         # tiling constraint, so shrink the tile to fit tiny (e.g. per-shard
         # dryrun) batches instead of rejecting them
         nb_eff = nb if (not interpret or B % nb == 0) else B
+        if not interpret and B % nb_eff != 0:
+            # e.g. a final partial validation batch: fall back to the XLA
+            # encode (identical math, parity-tested) instead of aborting at
+            # trace time — the kernel tiles the batch in nb-sample programs
+            return encode_latents(
+                p, x, input_thetas, rois, lead_num=L,
+                theta_encoder_len=theta_encoder_len, rng=rng, train=train,
+            )
         enc = angular_encode(input_thetas, theta_encoder_len)
         gate1 = linear(enc, p["mlp1.weight"], p["mlp1.bias"])  # [B,L,128]
         ramp_bs = roi_align_ramp(rois)

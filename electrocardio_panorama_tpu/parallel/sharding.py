@@ -71,6 +71,11 @@ def build_dp_train_step(model_def, cfg, tx, mesh: Mesh, axis: str = "data",
     else:
         tdf = None
     if getattr(cfg.TPU, "train_encoder", "xla") == "fused":
+        if cfg.MODEL.model != "model_nefnet":
+            raise ValueError(
+                "TPU.train_encoder='fused' supports model_nefnet only "
+                "(the fused encoder mirrors its per-lead tower/z-block)"
+            )
         from electrocardio_panorama_tpu.ops.pallas.encoder_fused import (
             make_fused_encode_fn)
 

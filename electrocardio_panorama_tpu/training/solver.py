@@ -258,6 +258,11 @@ class Solver:
             interpret = jax.devices()[0].platform == "cpu"
         eval_enc = getattr(cfg.TPU, "eval_encoder", "xla")
         if eval_enc == "fused":
+            if cfg.MODEL.model != "model_nefnet":
+                raise ValueError(
+                    "TPU.eval_encoder='fused' supports model_nefnet only "
+                    "(the fused encoder mirrors its per-lead tower/z-block)"
+                )
             from electrocardio_panorama_tpu.ops.pallas.encoder_fused import (
                 make_fused_encode_fn)
 

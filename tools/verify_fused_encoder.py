@@ -21,16 +21,18 @@ Usage: python tools/verify_fused_encoder.py [K]
 from __future__ import annotations
 
 import importlib.util
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
 
 
 def _load_oracle():
-    root = __file__.rsplit("/", 2)[0]
+    root = _ROOT
     spec = importlib.util.spec_from_file_location(
         "enc_oracle", f"{root}/tests/test_pallas_encoder.py"
     )
