@@ -416,6 +416,15 @@ def main():
     candidates = {k: v for k, v in results.items() if not k.endswith("_error")}
     best_path = max(candidates, key=candidates.get)
     views_per_sec = candidates[best_path]
+
+    # ---- MFU framing (VERDICT r03 item 3): algorithmic model FLOPs (XLA
+    # cost analysis, recomputed by tests/test_flops.py) vs the v5e 197 TF bf16
+    # peak. The f32 pipelines run multi-pass bf16 on this chip (docs/KERNELS.md
+    # dtype section) so they are framed against the same peak, labeled.
+    from electrocardio_panorama_tpu.utils import flops as F
+
+    decode_tflops = views_per_sec * F.FULL_WORKLOAD_FLOPS_PER_VIEW / 1e12
+    train_tflops = F.TRAIN_STEP_FLOPS_B32 / (train_med16 / K_TRAIN) / 1e12
     print(json.dumps({
         "metric": "panorama_views_per_sec_per_chip",
         "value": round(views_per_sec, 1),
@@ -427,6 +436,11 @@ def main():
         "batch_beats": B,
         "views_per_beat": V,
         "chained_launches": K,
+        "decode_achieved_tflops": round(decode_tflops, 1),
+        "decode_mfu_pct": round(100 * decode_tflops * 1e12 / F.V5E_BF16_PEAK_FLOPS, 1),
+        "train_achieved_tflops": round(train_tflops, 1),
+        "train_mfu_pct": round(100 * train_tflops * 1e12 / F.V5E_BF16_PEAK_FLOPS, 1),
+        "mfu_basis": "model FLOPs (XLA cost analysis, tests/test_flops.py) / 197 TF v5e bf16 peak",
         "dense_sweep_views_per_sec": round(dense_sweep_views_per_sec, 1),
         "dense_sweep_shape": [B_DS, V_DS],
         "encode_ms_per_launch_batch32": round(encode_ms, 3),
