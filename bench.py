@@ -301,11 +301,12 @@ def main():
     # the residual probe noise must stay small relative to K x signal
     # (the r02 train metrics chained K=8 and carried ~3 ms of RTT each)
 
-    def make_train_chain(compute_dtype, train_decoder="xla"):
+    def make_train_chain(compute_dtype, train_decoder="xla", train_encoder="xla"):
         # the Solver's mixed-precision policy (training/precision.py):
         # master params f32, forward/backward in compute_dtype, f32 loss.
         # train_decoder='fused' rides the Pallas training decoder
-        # (forward + custom-VJP backward, ops/pallas/decoder_train.py).
+        # (forward + custom-VJP backward, ops/pallas/decoder_train.py);
+        # train_encoder='fused' the Pallas encoder (ops/pallas/encoder_fused.py).
         mixed = compute_dtype != jnp.float32
         castc = lambda t: cast_floats(t, compute_dtype)
         if train_decoder == "fused":
@@ -316,6 +317,15 @@ def main():
             tdf = make_train_decode_fn(compute_dtype=compute_dtype)
         else:
             tdf = None
+        if train_encoder == "fused":
+            from electrocardio_panorama_tpu.ops.pallas.encoder_fused import (
+                make_fused_encode_fn,
+            )
+
+            ekw = {"encode_fn": make_fused_encode_fn(cfg.DATA.lead_num,
+                                                     cfg.MODEL.theta_L)}
+        else:
+            ekw = {}
 
         @jax.jit
         def train_chain(p, bn, opt, rng_key, data, input_theta, target_theta,
@@ -331,7 +341,7 @@ def main():
                     (out, sp, sl), new_bn = model.apply(
                         pp, bn, d, it, tt, rois,
                         phase="train", rng=jax.random.fold_in(rng_key, k),
-                        shuffle_idx=(0, 1), train_decode_fn=tdf,
+                        shuffle_idx=(0, 1), train_decode_fn=tdf, **ekw,
                     )
                     if mixed:
                         out, sp, sl = cast_floats_f32((out, sp, sl))
@@ -365,6 +375,13 @@ def main():
         train_step_ms_bf16_fused = round(1e3 * train_medf / K_TRAIN, 3)
     except Exception as e:  # noqa: BLE001 — report the fallback instead
         train_step_ms_bf16_fused = f"error: {str(e)[:80]}"
+    try:
+        train_medfe, _ = _time(
+            make_train_chain(jnp.bfloat16, train_encoder="fused"), targs, 5, rtt
+        )
+        train_step_ms_bf16_fused_enc = round(1e3 * train_medfe / K_TRAIN, 3)
+    except Exception as e:  # noqa: BLE001 — report the fallback instead
+        train_step_ms_bf16_fused_enc = f"error: {str(e)[:80]}"
 
     # p50 latency: single-beat 24-view panorama. The signal (~4 us/launch) is
     # far below tunnel-RTT variance (+-6 ms observed), so rtt subtraction
@@ -447,6 +464,7 @@ def main():
         "train_step_ms_batch32": round(train_step_ms, 3),
         "train_step_ms_batch32_bf16": round(train_step_ms_bf16, 3),
         "train_step_ms_batch32_bf16_fused_decoder": train_step_ms_bf16_fused,
+        "train_step_ms_batch32_bf16_fused_encoder": train_step_ms_bf16_fused_enc,
         "train_step_std_pct": round(train_std, 1),
         "p50_latency_ms_24view_panorama_amortized": round(p50_ms, 3),
         "host_loader_ms_per_batch32": host_loader_ms,

@@ -394,13 +394,18 @@ def _fwd_kernel(*refs, L, nb, train):
 
 
 def _acc(ref, val):
-    val = val.astype(ref.dtype)
+    """Accumulate a weight grad across the batch grid axis (the innermost
+    axis of the backward's (lead, batch) grid, so each lead's grad block is
+    revisited consecutively). Bias grads reshape to their lead-leading 3-D
+    block form (_r3l) here."""
+    val = val.reshape(ref.shape).astype(ref.dtype)
+    bid = pl.program_id(1)
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(bid == 0)
     def _():
         ref[...] = val
 
-    @pl.when(pl.program_id(0) != 0)
+    @pl.when(bid != 0)
     def _():
         ref[...] = ref[...] + val
 
@@ -413,6 +418,19 @@ _GNAMES = (
     "c20w1", "c20w2", "wt", "bt",
     "c22w1", "c22w2", "c22wr", "c22br",
 )
+
+
+def _gt0(x):
+    """x > 0 computed in f32: v5e Mosaic rejects bf16 `arith.cmpf`
+    ("Target does not support this comparison"); bf16→f32 is exact, so the
+    mask is identical to comparing in bf16."""
+    return x.astype(jnp.float32) > 0
+
+
+def _eqf(a, b):
+    """a == b computed in f32 (exact for bf16 operands) — same v5e Mosaic
+    bf16-cmpf constraint as _gt0."""
+    return a.astype(jnp.float32) == b.astype(jnp.float32)
 
 
 def _bwd_kernel(*refs, L, nb):
@@ -429,6 +447,10 @@ def _bwd_kernel(*refs, L, nb):
     grefs = dict(zip(_GNAMES, douts[1:]))
 
     w = _unpack_w(wrefs)
+    # bias-class blocks arrive in their lead-leading 3-D view (_r3l);
+    # collapse the leading block-of-1 back out (layout-preserving)
+    for _nm in _R3:
+        w[_nm] = w[_nm].reshape(w[_nm].shape[1:])
     f32 = jnp.float32
     od = w["wcw2"].dtype
     n = nb * FEAT
@@ -441,12 +463,12 @@ def _bwd_kernel(*refs, L, nb):
     dz2g = dz2g_ref[...].reshape(G7, FEAT, X32).astype(f32)
 
     # ---- z2_conv2.2
-    da = dz2g * (st["z2g"] > 0)
+    da = dz2g * _gt0(st["z2g"])
     _acc(grefs["c22w2"], _gconv_dw(da, st["c2m"], 3, 2 * ALIGN, od))
     _acc(grefs["c22wr"], _odw(da, st["Ht"], od))
     _acc(grefs["c22br"], jnp.sum(da, axis=2))
     da1 = _gconv_dh(da, w["c22w2"], 2 * ALIGN)
-    da1 = da1 * mc22 * (st["c2"] > 0)
+    da1 = da1 * mc22 * _gt0(st["c2"])
     _acc(grefs["c22w1"], _gconv_dw(da1, st["Ht"], 3, 2 * ALIGN, od))
     dHt = _gconv_dh(da1, w["c22w1"], 2 * ALIGN) + _bdotT(w["c22wr"], da)
 
@@ -459,10 +481,10 @@ def _bwd_kernel(*refs, L, nb):
     dHc = _bdotT(w["wt"][0], dy0) + _bdotT(w["wt"][1], dy1)
 
     # ---- z2_conv2.0
-    da = dHc * (st["Hc"] > 0)
+    da = dHc * _gt0(st["Hc"])
     _acc(grefs["c20w2"], _gconv_dw(da, st["c1m"], 3, ALIGN, od))
     da1 = _gconv_dh(da, w["c20w2"], ALIGN)
-    da1 = da1 * mc20 * (st["c1"] > 0)
+    da1 = da1 * mc20 * _gt0(st["c1"])
     _acc(grefs["c20w1"], _gconv_dw(da1, st["A"], 3, ALIGN, od))
     dA = _gconv_dh(da1, w["c20w1"], ALIGN) + da  # identity residual
 
@@ -476,11 +498,11 @@ def _bwd_kernel(*refs, L, nb):
     z1h, z2h = st["hw"][:, :64], st["hw"][:, 64:]
 
     def zblock_bwd(dout, nm, zin, zr1, zr1m, zf, mask):
-        da = dout * (zf > 0)
+        da = dout * _gt0(zf)
         _acc(grefs[f"{nm}w2"], _gconv_dw(da, zr1m, 3, FEAT, od))
         _acc(grefs[f"{nm}wr"], _odw(da, zin, od))
         _acc(grefs[f"{nm}br"], jnp.sum(da, axis=2))
-        da1 = _gconv_dh(da, w[f"{nm}w2"], FEAT) * mask * (zr1 > 0)
+        da1 = _gconv_dh(da, w[f"{nm}w2"], FEAT) * mask * _gt0(zr1)
         _acc(grefs[f"{nm}w1"], _gconv_dw(da1, zin, 3, FEAT, od))
         return _gconv_dh(da1, w[f"{nm}w1"], FEAT) + _bdotT(w[f"{nm}wr"], da)
 
@@ -489,9 +511,9 @@ def _bwd_kernel(*refs, L, nb):
     dhw = jnp.concatenate([dz1h, dz2h], axis=1)  # [L,128,n]
 
     # ---- w_conv
-    da = dhw * (st["hw"] > 0)
+    da = dhw * _gt0(st["hw"])
     _acc(grefs["wcw2"], _gconv_dw(da, st["wr1m"], 3, FEAT, od))
-    da1 = _gconv_dh(da, w["wcw2"], FEAT) * m6[3] * (st["wr1"] > 0)
+    da1 = _gconv_dh(da, w["wcw2"], FEAT) * m6[3] * _gt0(st["wr1"])
     _acc(grefs["wcw1"], _gconv_dw(da1, st["hg"], 3, FEAT, od))
     dhg = _gconv_dh(da1, w["wcw1"], FEAT) + da
 
@@ -502,9 +524,9 @@ def _bwd_kernel(*refs, L, nb):
 
     # ---- layer1
     for b in reversed(range(3)):
-        da2 = dh * (st["hs"][b + 1] > 0)
+        da2 = dh * _gt0(st["hs"][b + 1])
         _acc(grefs[f"l{b}c2"], _gconv_dw(da2, st["r1ms"][b], 7, FEAT, od))
-        da1 = _gconv_dh(da2, w[f"l{b}c2"], FEAT) * m6[b] * (st["r1s"][b] > 0)
+        da1 = _gconv_dh(da2, w[f"l{b}c2"], FEAT) * m6[b] * _gt0(st["r1s"][b])
         _acc(grefs[f"l{b}c1"], _gconv_dw(da1, st["hs"][b], 7, FEAT, od))
         dh = _gconv_dh(da1, w[f"l{b}c1"], FEAT) + da2
 
@@ -515,12 +537,12 @@ def _bwd_kernel(*refs, L, nb):
         ae, ao = st["ae"][l], st["ao"][l]
         pooled = st["hs"][0][l]
         o_prev = jnp.where(pos == 0, neg, _shiftn(ao, -1, FEAT))
-        m1 = o_prev == pooled
-        m2 = (ae == pooled) & ~m1
-        m3 = (ao == pooled) & ~m1 & ~m2
+        m1 = _eqf(o_prev, pooled)
+        m2 = _eqf(ae, pooled) & ~m1
+        m3 = _eqf(ao, pooled) & ~m1 & ~m2
         dpool = dh[l]
-        da_e = dpool * m2 * (ae > 0)
-        da_o = (dpool * m3 + _shiftn(dpool * m1.astype(f32), 1, FEAT)) * (ao > 0)
+        da_e = dpool * m2 * _gt0(ae)
+        da_o = (dpool * m3 + _shiftn(dpool * m1.astype(f32), 1, FEAT)) * _gt0(ao)
         pe = _patches(xph[l], 0, nb).astype(od)
         po = _patches(xph[l], 2, nb).astype(od)
         prec = jax.lax.Precision.HIGHEST if od == jnp.float32 else None
@@ -545,10 +567,14 @@ def encoder_vmem_bytes_estimate(nb: int, L: int, itemsize: int = 2,
     (recomputed forward intermediates + masks + f32 grad transients) plus the
     z2_conv2 stage planes, storage-dtype weights, and f32 weight-grad
     accumulators. Forward keeps only the double-buffered streaming planes
-    (~14) and no grad state. bf16 nb=8 backward estimates ~80 MiB (under the
-    100 MiB budget); f32 backward does NOT fit at the minimum legal tile
-    (nb=8 -> ~121 MiB), so on-chip fused-encoder TRAINING is bf16-only —
-    the f32 parity tests run in interpret mode where no VMEM exists."""
+    (~14) and no grad state.
+
+    The backward runs on a (lead, batch) grid — every encoder stage is
+    lead-grouped — so its per-program footprint is evaluated at L=1
+    (_bwd_call passes L=1 here). Measured reality check: the batch-only
+    (L=3) backward needed 152.5M on chip at nb=8 bf16 (101.7M register
+    spills the analytic count below cannot see), 24.5M past the 128M VMEM;
+    the L=1 grid divides the plane/spill terms by 3."""
     n = nb * FEAT
     plane = L * FEAT * n
     zplane = SEGS * L * FEAT * nb * ALIGN
@@ -647,47 +673,116 @@ def _fwd_call(w, xph, gexp, ramp, masks, *, L, nb, train, interpret):
     return z1, z2g
 
 
+# Lead axis of each packed weight/grad tensor (None = lead-independent is not
+# a case here: every encoder weight is lead-grouped). Value = (axis, blocks
+# per lead along that axis): L-sized axes block by 1, SEGS*L-sized group axes
+# by SEGS (the G7 flattening is lead-contiguous — lead l owns groups
+# [l*7, (l+1)*7), see the A-matrix reshape in _stages).
+_LEAD_AXIS = {
+    "c1w": (0, 1),
+    "l0c1": (1, 1), "l0c2": (1, 1), "l1c1": (1, 1), "l1c2": (1, 1),
+    "l2c1": (1, 1), "l2c2": (1, 1),
+    "wcw1": (1, 1), "wcw2": (1, 1),
+    "z1w1": (1, 1), "z1w2": (1, 1), "z1wr": (0, 1), "z1br": (0, 1),
+    "z2w1": (1, 1), "z2w2": (1, 1), "z2wr": (0, 1), "z2br": (0, 1),
+    "c20w1": (1, SEGS), "c20w2": (1, SEGS), "wt": (1, SEGS), "bt": (0, 1),
+    "c22w1": (1, SEGS), "c22w2": (1, SEGS), "c22wr": (0, SEGS),
+    "c22br": (0, 1),
+}
+# (_R3 members are specced on their _r3l 3-D view, whose lead axis is 0 with
+# one block per lead.)
+
+
+# Bias-class tensors ([L,128], [7L,128], [7L,64]) cannot block per-lead in
+# their 2-D form: the lead/group axis sits in the SUBLANE position and a
+# block of 1 (or 7) there is neither 8-divisible nor the full dim, which the
+# hardware lowering rejects. They travel through the backward call in a
+# lead-LEADING 3-D view ([L,1,128] / [L,7,128] / [L,7,64]) whose last two
+# dims equal the full array dims; the kernel collapses the leading block of
+# 1 back out (layout-preserving).
+_R3 = {"z1br", "z2br", "c22br", "bt"}
+
+
+def _r3l(nm, v):
+    """Lead-leading 3-D view of a bias-class tensor (identity otherwise)."""
+    if nm in ("z1br", "z2br"):
+        return v.reshape(v.shape[0], 1, FEAT)
+    if nm in ("c22br", "bt"):
+        return v.reshape(-1, SEGS, v.shape[-1])
+    return v
+
+
+def _lead_spec(shape, nm):
+    """Per-lead block of a packed weight/grad tensor: whole on every axis but
+    the lead axis. index_map sees the (lead, batch) grid."""
+    axis, per = _LEAD_AXIS[nm]
+    blk = tuple(per if i == axis else s for i, s in enumerate(shape))
+
+    def imap(gl, gb, _axis=axis, _nd=len(shape)):
+        return tuple(gl if i == _axis else 0 for i in range(_nd))
+
+    return pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM)
+
+
+def _lb(blk, lead_axis, batch_axis):
+    """BlockSpec blocked by lead on one axis and batch on another."""
+    nd = len(blk)
+
+    def imap(gl, gb):
+        return tuple(gl if i == lead_axis else (gb if i == batch_axis else 0)
+                     for i in range(nd))
+
+    return pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM)
+
+
 def _bwd_call(w, xph, gexp, ramp, masks, dz1, dz2g, *, L, nb, interpret):
+    """Backward pallas call on a (lead, batch) grid.
+
+    The recompute-backward holds ~26 activation planes live from the forward
+    recompute until their reverse-walk use; on a batch-only grid that live set
+    register-spills past VMEM (measured 152.5M/128M at nb=8, L=3 — 101.7M of
+    it spill slots). Every encoder stage is lead-grouped, so blocking the
+    lead axis divides the live set by L at zero extra HBM traffic: weights
+    stream once per lead (outer, slow axis) and weight grads accumulate over
+    the inner batch axis (consecutive revisits of the same block)."""
     sd = gexp.dtype
     B = xph.shape[-1] // FEAT
     if not interpret:
-        _validate_nb(nb, L, jnp.dtype(sd).itemsize, bwd=True)
+        _validate_nb(nb, 1, jnp.dtype(sd).itemsize, bwd=True)
     G = B // nb
-    G7 = SEGS * L
     n = nb * FEAT
     mmid, bm16, u0, u1 = _consts(nb, sd)
     m6, mc20, mc22 = masks
     whole = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [
-        _block((L, 4, n), 2, 3),
-        _block((L, FEAT, n), 2, 3),
-        _block((SEGS, nb * ALIGN), 1, 2),
+        _lb((1, 4, n), 0, 2),            # xph
+        _lb((1, FEAT, n), 0, 2),         # gexp
+        _lb((SEGS, nb * ALIGN), -1, 1),  # ramp (lead-independent)
         whole, whole, whole, whole,      # mmid bm16 u0 u1
         whole, whole, whole, whole,      # transposes
-        _block((6, L, FEAT, n), 3, 4),
-        _block((G7, FEAT, nb * ALIGN), 2, 3),
-        _block((G7, FEAT, nb * 2 * ALIGN), 2, 3),
+        _lb((6, 1, FEAT, n), 1, 3),      # m6
+        _lb((SEGS, FEAT, nb * ALIGN), 0, 2),      # mc20
+        _lb((SEGS, FEAT, nb * 2 * ALIGN), 0, 2),  # mc22
     ]
-    in_specs += [whole] * len(_WNAMES)
+    in_specs += [_lead_spec(_r3l(nm, w[nm]).shape, nm) for nm in _WNAMES]
     in_specs += [
-        _block((L, FEAT, n), 2, 3),                   # dz1
-        _block((G7 * FEAT, nb * 2 * ALIGN), 1, 2),    # dz2g
+        _lb((1, FEAT, n), 0, 2),                      # dz1
+        _lb((SEGS * FEAT, nb * 2 * ALIGN), 0, 1),     # dz2g
     ]
     args = [xph, gexp, ramp, mmid, bm16, u0, u1,
             mmid.T, bm16.T, u0.T, u1.T, m6, mc20, mc22]
-    args += [w[nm] for nm in _WNAMES]
+    args += [_r3l(nm, w[nm]) for nm in _WNAMES]
     args += [dz1.astype(sd), dz2g.astype(sd)]
 
-    out_specs = [_block((L, FEAT, n), 2, 3)]  # dgexp
+    out_specs = [_lb((1, FEAT, n), 0, 2)]  # dgexp
     out_shape = [jax.ShapeDtypeStruct((L, FEAT, B * FEAT), jnp.float32)]
     for nm in _GNAMES:
-        shp = w[nm].shape
-        out_specs.append(pl.BlockSpec(shp, lambda g, _nd=len(shp): (0,) * _nd,
-                                      memory_space=pltpu.VMEM))
+        shp = _r3l(nm, w[nm]).shape
+        out_specs.append(_lead_spec(shp, nm))
         out_shape.append(jax.ShapeDtypeStruct(shp, jnp.float32))
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, L=L, nb=nb),
-        grid=(G,),
+        functools.partial(_bwd_kernel, L=1, nb=nb),
+        grid=(L, G),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -696,7 +791,10 @@ def _bwd_call(w, xph, gexp, ramp, masks, dz1, dz2g, *, L, nb, interpret):
             vmem_limit_bytes=VMEM_LIMIT_BYTES,
         ),
     )(*args)
-    return outs
+    # collapse the bias grads' 3-D block view back to the packed shapes
+    return [outs[0]] + [
+        g.reshape(w[nm].shape) for nm, g in zip(_GNAMES, outs[1:])
+    ]
 
 
 # ------------------------------------------------------------------ custom VJP
