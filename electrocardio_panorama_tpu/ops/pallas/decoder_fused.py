@@ -47,6 +47,12 @@ SEQ = 512
 # matches CompilerParams(vmem_limit_bytes) below; v5e VMEM is 128 MiB
 VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 
+# escape hatch: route f32 back to the layout-A kernel (the original
+# exact-precision path) for A/B parity and perf comparisons
+import os as _os  # noqa: E402
+
+_F32_LAYOUT_A = _os.environ.get("ECGPAN_F32_LAYOUT_A") == "1"
+
 
 def fold_decoder_bn(params: dict, state: dict, dtype=jnp.float32) -> dict:
     """Fold eval-mode BatchNorm into the adjacent conv weights/biases.
@@ -390,18 +396,24 @@ QW = SEQ // 4  # 128: quarter-width phase planes
 
 
 def _bdot_vc(a3, b3):
-    """Batched [VT, M, K] @ [VT, K, N] -> [VT, M, N], f32 accumulation."""
+    """Batched [VT, M, K] @ [VT, K, N] -> [VT, M, N], f32 accumulation.
+    f32 operands force HIGHEST (the multi-pass true-f32 decomposition — a
+    default-precision f32 dot truncates to one bf16 pass on TPU, see
+    _dot_f32); bf16 operands stay single-pass."""
+    prec = jax.lax.Precision.HIGHEST if a3.dtype == jnp.float32 else None
     return jax.lax.dot_general(
         a3, b3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
 
 
 def _dot2_vc(a2, b2):
-    """2-D [M, K] @ [K, N] -> [M, N], f32 accumulation."""
+    """2-D [M, K] @ [K, N] -> [M, N], f32 accumulation (HIGHEST for f32
+    operands, as _bdot_vc)."""
+    prec = jax.lax.Precision.HIGHEST if a2.dtype == jnp.float32 else None
     return jax.lax.dot_general(
         a2, b2, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
 
 
@@ -627,10 +639,13 @@ def fused_decode_views(folded: dict, latent_all, gates, *, v_tile: int = 16,
     Vp = V + pad
     n_vt = Vp // v_tile
 
-    if dtype != jnp.float32:
-        # bf16 pipeline: polyphase layout-B kernel; gates ship PACKED
-        # [VT*2, 128] (pure reshape — the [VT*256, 1] column block is one
-        # lane wide and its DMA costs ~3.9 ms/launch, docs/KERNELS.md)
+    if dtype != jnp.float32 or not _F32_LAYOUT_A:
+        # polyphase layout-B kernel (the production pipeline; docs/KERNELS.md):
+        # gates ship PACKED [VT*2, 128] (pure reshape — the [VT*256, 1]
+        # column block is one lane wide and its DMA costs ~3.9 ms/launch).
+        # f32 runs the SAME body with every dot at Precision.HIGHEST
+        # (_bdot_vc/_dot2_vc) — true-f32 fidelity at the polyphase/dot-fused
+        # FLOP count instead of layout A's dense-upsample work.
         gpack = gates.reshape(B, n_vt, v_tile * 2, 128)
         selw = conv5_selectors(v_tile, folded["w5"], dtype)
         u1eo, ab_m, c01, c23, b3_2, w4a, w4b, w4c, w4d = dotfuse_operands(folded)
@@ -664,6 +679,8 @@ def fused_decode_views(folded: dict, latent_all, gates, *, v_tile: int = 16,
         out = out.reshape(B, Vp, 4, QW).transpose(0, 1, 3, 2).reshape(B, Vp, SEQ)
         return out[:, :V] if pad else out
 
+    # layout-A f32 kernel: the independently-audited exact-precision
+    # fallback, selectable for A/B parity checks (ECGPAN_F32_LAYOUT_A=1)
     weight_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 14
     kernel = functools.partial(_decoder_kernel, vt=v_tile, storage_dtype=dtype)
     e_sel, t_sel = gate_selectors(v_tile)
