@@ -213,6 +213,182 @@ def lead_param_specs(params, lead_num: int, lead_axis: str = "lead"):
     return {k: spec(k, v) for k, v in params.items()}
 
 
+def opt_state_specs(tx, params, p_specs):
+    """PartitionSpec tree for an optax state matching per-param shardings.
+
+    Any state leaf that mirrors a param (same dict key on its tree path and
+    same shape — e.g. SGD momentum / Adam moments) inherits that param's
+    spec; scalars and hyperparams replicate."""
+    from jax.tree_util import DictKey, tree_map_with_path
+
+    shapes = {k: v.shape for k, v in params.items()}
+    opt_shapes = jax.eval_shape(tx.init, params)
+
+    def leaf_spec(path, leaf):
+        for k in reversed(path):
+            if isinstance(k, DictKey) and k.key in p_specs:
+                if getattr(leaf, "shape", None) == shapes[k.key]:
+                    return p_specs[k.key]
+                break
+        return P()
+
+    return tree_map_with_path(leaf_spec, opt_shapes)
+
+
+def build_3d_train_step(model_def, cfg, tx, mesh: Mesh, *,
+                        data_axis: str = "data", lead_axis: str = "lead",
+                        view_axis: str = "view", deterministic: bool = False):
+    """One shard_map training step over a 3-D (data x lead x view) mesh —
+    every parallelism axis of the framework composed in a single program.
+
+    Axis roles and their collectives:
+      * data + view: the batch shards jointly over BOTH axes
+        (``P((data, view))`` on the leading dim) — views of one beat are
+        independent training samples after encoding, so the view axis doubles
+        as extra batch parallelism in training. Grad/loss pmean and BN
+        batch-stat psum run over ``(data, view)``.
+      * lead: encoder tensor parallelism — every per-lead-grouped weight
+        (`lead_param_specs`) AND its activations shard over the lead axis;
+        each device encodes only its lead slice (exactly the L_local-lead
+        model, since all encoder ops are lead-grouped) and the reference's
+        lead-mean (model_nefnet.py:146-151) is one psum. The per-lead z1/z2
+        picked by the Standin shuffles (model_nefnet.py:154-165) come from
+        their owning shard by a masked psum. `mlp1` grads are lead-partial
+        (each shard only sees its leads' thetas) and psum over the lead axis;
+        decoder/mlp2 compute is replicated across lead, so their grads are
+        lead-identical and need no lead collective.
+
+    Optimizer state shards like the params (`opt_state_specs`), so encoder
+    momentum lives only on the owning lead shard — the optimizer update is
+    elementwise and runs fully sharded.
+
+    f32 only (the mixed-precision policy lives in build_dp_train_step; this
+    path exists to validate the full 3-axis composition). With
+    ``deterministic=True`` dropout is off and the step is numerically
+    parity-checkable against the unsharded train step on the same batch
+    (tests/test_sharding.py).
+
+    Batch arrays must have leading dim divisible by |data|*|view| and lead
+    dims divisible by |lead|. Returns a jitted
+    step(params, bn_state, opt_state, rng, i1, i2, data, input_theta,
+    target_theta, rois, target_view, noise) -> (params, bn_state, opt_state,
+    losses[4]) with params/opt sharded per their specs.
+    """
+    from electrocardio_panorama_tpu.models.nefnet import (
+        decoder_apply, encode_latents, query_gates)
+
+    if jnp.dtype(cfg.TPU.compute_dtype) != jnp.float32:
+        raise ValueError("build_3d_train_step is f32-only; use "
+                         "build_dp_train_step for the mixed-precision path")
+    L = model_def.lead_num
+    n_lead = mesh.shape[lead_axis]
+    if L % n_lead != 0:
+        raise ValueError(f"lead_num={L} not divisible by |{lead_axis}|={n_lead}")
+    L_local = L // n_lead
+    batch_axes = (data_axis, view_axis)
+    use_noise = bool(cfg.DATA.noise)
+    tlen = model_def.theta_encoder_len
+
+    p_shapes, _ = jax.eval_shape(model_def.init, jax.random.PRNGKey(0))
+    p_specs = lead_param_specs(p_shapes, L, lead_axis)
+    o_specs = opt_state_specs(tx, p_shapes, p_specs)
+
+    def pick_lead(z_leads, idx):
+        """z_leads [b, L_local, 128, 128] (this shard's leads), idx global
+        lead int -> [b, 128, 128] from the owning shard (masked psum)."""
+        lo = jax.lax.axis_index(lead_axis) * L_local
+        own = (idx >= lo) & (idx < lo + L_local)
+        local = jnp.take(z_leads, jnp.clip(idx - lo, 0, L_local - 1), axis=1)
+        return jax.lax.psum(local * own.astype(local.dtype), lead_axis)
+
+    def local_step(params, bn_state, opt_state, rng, i1, i2,
+                   data, input_theta, target_theta, rois, target_view, noise):
+        if deterministic:
+            rng = None
+        else:
+            shard = (
+                jax.lax.axis_index(data_axis) * mesh.shape[view_axis]
+                + jax.lax.axis_index(view_axis)
+            ) * n_lead + jax.lax.axis_index(lead_axis)
+            rng = jax.random.fold_in(rng, shard)
+
+        def loss_fn(p):
+            B = data.shape[0]
+            lat = encode_latents(
+                p, data, input_theta, rois, lead_num=L_local,
+                theta_encoder_len=tlen, rng=rng, train=True,
+            )
+            z1_mean = jax.lax.psum(lat.z1_mean * (L_local / L), lead_axis)
+            z2_mean = jax.lax.psum(lat.z2_mean * (L_local / L), lead_axis)
+            latent_all = jnp.concatenate([z1_mean, z2_mean], axis=1)
+            shuffle_z1 = pick_lead(lat.z1.reshape(B, L_local, 128, 128), i1)
+            shuffle_z2 = pick_lead(lat.z2.reshape(B, L_local, 128, 128), i2)
+            shuffle_patient_all = jnp.concatenate([shuffle_z1, z2_mean], axis=1)
+            shuffle_lead_all = jnp.concatenate([z1_mean, shuffle_z2], axis=1)
+
+            gate_q = query_gates(p, target_theta, theta_encoder_len=tlen)
+            gx = gate_q[:, :, None]
+            stacked = jnp.concatenate(
+                [gx * latent_all, gx * shuffle_patient_all, gx * shuffle_lead_all],
+                axis=0,
+            )  # [3B, 256, 128] group-major (nefnet_apply train branch)
+            o, u = decoder_apply(
+                p, bn_state, stacked, train=True, bn_axis=batch_axes, bn_groups=3,
+            )
+            outs = jax.nn.sigmoid(o / 3.0).reshape(3, B, 1, 512)
+            out = outs[0] + (noise[:, None, :] if use_noise else 0.0)
+            new_bn = dict(bn_state)
+            new_bn.update(u)
+            loss, lo1, lo2, lo3 = loss_wrapper(
+                out, outs[1], outs[2], target_view[:, None, :], cfg
+            )
+            return loss, (lo1, lo2, lo3, new_bn)
+
+        (loss, (lo1, lo2, lo3, new_bn)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        # The loss is REPLICATED over the lead axis (each lead shard computes
+        # the identical scalar after the latent psums), so per-shard autodiff
+        # effectively differentiates sum_over_lead(loss) = n_lead * loss:
+        # every grad that flowed through a lead psum is n_lead x too large.
+        #   * lead-sharded encoder params: enter all n_lead replicated losses
+        #     through the latent/shuffle psums -> divide by n_lead;
+        #   * mlp1 (replicated param, consumed on each shard's own lead
+        #     thetas): per-shard grad is n_lead x its lead-partial -> pmean
+        #     over lead recovers the true sum of partials;
+        #   * decoder/mlp2 (replicated, replicated compute): each shard's
+        #     copy enters only its own loss copy -> grads already correct
+        #     and lead-identical, no collective.
+        # Everything then pmean's over the joint batch axes.
+        inv_lead = 1.0 / n_lead
+        grads = {
+            k: (jax.lax.pmean(g, lead_axis) if k.startswith("mlp1.")
+                else g * inv_lead if p_specs[k] != P() else g)
+            for k, g in grads.items()
+        }
+        grads = jax.lax.pmean(grads, batch_axes)
+        loss_vec = jax.lax.pmean(
+            jnp.stack([loss, jnp.asarray(lo1), jnp.asarray(lo2), jnp.asarray(lo3)]),
+            batch_axes,
+        )
+        updates, new_opt = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_bn, new_opt, loss_vec
+
+    rep = P()
+    bsh = P(batch_axes)
+    lead_in = P(batch_axes, lead_axis)
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(p_specs, rep, o_specs, rep, rep, rep,
+                  lead_in, lead_in, bsh, bsh, bsh, bsh),
+        out_specs=(p_specs, rep, o_specs, rep),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
 def build_lead_parallel_panorama(model_def, mesh: Mesh, *, lead_axis: str = "lead",
                                  view_axis: str | None = None):
     """Tensor-parallel panorama: encoder weights AND activations sharded over

@@ -344,3 +344,84 @@ def test_lead_parallel_lead_count_must_divide():
 
     with pytest.raises(ValueError, match="not divisible"):
         build_lead_parallel_panorama(model, mesh, view_axis="view")
+
+
+def test_3d_mesh_train_step_parity_with_single_device(tmp_path):
+    """The combined data x lead x view train step (batch sharded jointly over
+    data+view, encoder weights/activations/momentum sharded over lead, latent
+    + shuffle picks by psum, mlp1 grads psum'd over lead) computes the SAME
+    update as the single-device Solver step on the same batch (dropout off,
+    fixed shuffle picks)."""
+    from jax.tree_util import DictKey
+    from electrocardio_panorama_tpu.parallel import (
+        build_3d_train_step, lead_param_specs, opt_state_specs)
+    from electrocardio_panorama_tpu.training.solver import Solver
+
+    cfg = get_cfg()
+    cfg.MODEL.model = "model_nefnet"
+    cfg.DATA.lead_num = 2  # divisible by the 2-way lead axis
+    cfg.SOLVER.loss_factor = [0.5, 0.5, 1]
+    cfg.SOLVER.lr = 0.01
+    mesh = make_mesh((2, 2, 2), ("data", "lead", "view"))
+    model = build_model(cfg)
+    tx = get_optimizer(cfg)
+    batch = make_batch(np.random.default_rng(5), B=8, L=2)
+    params, bn_state = model.init(jax.random.PRNGKey(4))
+    opt_state = tx.init(params)
+    arrays = (
+        jnp.asarray(batch["data"]), jnp.asarray(batch["input_theta"]),
+        jnp.asarray(batch["target_theta"]), jnp.asarray(batch["rois"]),
+        jnp.asarray(batch["target_view"]), jnp.asarray(batch["noise"]),
+    )
+    i1, i2 = jnp.asarray(1), jnp.asarray(0)
+
+    def copy(t):
+        return jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), t)
+
+    scfg = cfg.clone()
+    scfg.output_dir = str(tmp_path)
+    solver = Solver(scfg, use_writer=False)
+    p1, bn1, opt1, lvec1 = solver._train_step(
+        copy(params), copy(bn_state), copy(opt_state), None, i1, i2, *arrays
+    )
+
+    step = build_3d_train_step(model, cfg, tx, mesh, deterministic=True)
+    p2, bn2, opt2, lvec2 = step(
+        copy(params), copy(bn_state), copy(opt_state), jax.random.PRNGKey(0),
+        i1, i2, *arrays,
+    )
+
+    np.testing.assert_allclose(np.asarray(lvec2), np.asarray(lvec1), rtol=0, atol=2e-6)
+    # Observed agreement is ~1e-7 (reassociation only). The tolerance must
+    # stay FAR below lr*grad (~1e-4 here): a mis-scaled lead collective
+    # (e.g. the n_lead-replicated-loss double count this test caught, or a
+    # psum-for-pmean on mlp1) shifts lead-sharded params by exactly
+    # lr*grad*(factor-1), which 5e-6 rejects and 1e-4 would mask.
+    for k in p1:
+        np.testing.assert_allclose(
+            np.asarray(p2[k]), np.asarray(p1[k]), rtol=0, atol=5e-6,
+            err_msg=f"param {k} diverged between 3d-mesh and single-device step",
+        )
+    for k in bn1:
+        np.testing.assert_allclose(
+            np.asarray(bn2[k]), np.asarray(bn1[k]), rtol=0, atol=5e-6,
+            err_msg=f"bn state {k} diverged",
+        )
+    flat1, _ = jax.tree.flatten(opt1)
+    flat2, _ = jax.tree.flatten(opt2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=0, atol=5e-6)
+
+    # encoder leaves (and their momentum) really are lead-sharded on the mesh
+    specs = lead_param_specs(params, 2)
+    from jax.sharding import PartitionSpec as P2
+    assert specs["W_encoder.conv1.weight"] == P2("lead")
+    o_specs = opt_state_specs(tx, params, specs)
+    leaves = jax.tree_util.tree_leaves_with_path(o_specs)
+    assert any(
+        any(isinstance(k, DictKey) and k.key == "W_encoder.conv1.weight" for k in path)
+        and spec == P2("lead")
+        for path, spec in leaves
+    )
+    sh = p2["W_encoder.conv1.weight"].sharding
+    assert sh.spec == P2("lead")
