@@ -90,12 +90,16 @@ def get_default_cfg() -> Node:
     # forward + custom-VJP backward, ops/pallas/decoder_train.py; gradient
     # parity pinned by tests/test_pallas_train_decoder.py)
     cfg.TPU.train_decoder = "xla"
-    # train-step encoder: "xla" | "fused" (whole encode chain — tower, gate,
-    # w/z convs, roi_align, z2_conv2 — as one Pallas forward + recomputing
-    # custom-VJP backward, ops/pallas/encoder_fused.py; gradient parity
-    # pinned by tests/test_pallas_encoder.py). Requires batch % 8 == 0 and
-    # bfloat16 compute on real hardware (VMEM; see encoder_vmem_bytes_estimate)
-    cfg.TPU.train_encoder = "xla"
+    # train-step encoder: "auto" | "xla" | "fused" (whole encode chain —
+    # tower, gate, w/z convs, roi_align, z2_conv2 — as one Pallas forward +
+    # recomputing custom-VJP backward, ops/pallas/encoder_fused.py; gradient
+    # parity pinned by tests/test_pallas_encoder.py). "auto" rides the fused
+    # kernel where it measured faster (TPU + bfloat16 + model_nefnet: 2.553
+    # vs 2.838 ms/step at batch 32, tools/verify_fused_encoder.py) and XLA
+    # elsewhere — the kernel is bf16-only on hardware (VMEM; see
+    # encoder_vmem_bytes_estimate) and falls back to the XLA encode for
+    # batches not divisible by 8 (e.g. a final partial validation batch)
+    cfg.TPU.train_encoder = "auto"
     # eval/val encoder: "xla" | "fused" (forward-only fused encoder kernel;
     # needs batch % 8 == 0 on hardware)
     cfg.TPU.eval_encoder = "xla"

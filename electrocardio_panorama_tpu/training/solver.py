@@ -170,7 +170,7 @@ class Solver:
             raise ValueError(
                 f"unknown TPU.train_decoder {train_dec!r} (use 'xla' or 'fused')"
             )
-        train_enc = getattr(cfg.TPU, "train_encoder", "xla")
+        train_enc = self._train_encoder_mode(mixed)
         if train_enc == "fused":
             if cfg.MODEL.model != "model_nefnet":
                 raise ValueError(
@@ -184,12 +184,8 @@ class Solver:
                 cfg.DATA.lead_num, cfg.MODEL.theta_L,
                 interpret=jax.devices()[0].platform == "cpu",
             )
-        elif train_enc == "xla":
+        else:  # 'xla' (_train_encoder_mode rejects anything else)
             enc_fn = None
-        else:
-            raise ValueError(
-                f"unknown TPU.train_encoder {train_enc!r} (use 'xla' or 'fused')"
-            )
 
         @partial(jax.jit, donate_argnums=(0, 1, 2))
         def step(params, bn_state, opt_state, rng, i1, i2,
@@ -226,6 +222,30 @@ class Solver:
             )
 
         return step
+
+    def _train_encoder_mode(self, mixed: bool) -> str:
+        """Resolve TPU.train_encoder. 'auto' rides the fused Pallas encoder
+        exactly where it measured faster — a real accelerator backend with
+        bfloat16 compute on model_nefnet (2.553 vs 2.838 ms/step at batch 32
+        on v5e, tools/verify_fused_encoder.py) — and stays on the XLA encode
+        elsewhere: on CPU the kernel would run interpreted, and the f32
+        backward exceeds VMEM at the minimum legal tile
+        (encoder_vmem_bytes_estimate)."""
+        mode = getattr(self.cfg.TPU, "train_encoder", "auto")
+        if mode == "auto":
+            mode = (
+                "fused"
+                if mixed
+                and self.cfg.MODEL.model == "model_nefnet"
+                and jax.devices()[0].platform != "cpu"
+                else "xla"
+            )
+        if mode not in ("xla", "fused"):
+            raise ValueError(
+                f"unknown TPU.train_encoder {mode!r} "
+                "(use 'auto', 'xla', or 'fused')"
+            )
+        return mode
 
     def _eval_decoder_mode(self):
         """Resolve TPU.eval_decoder: 'auto' rides the fused Pallas kernel

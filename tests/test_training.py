@@ -618,3 +618,35 @@ def test_train_encoder_unknown_raises(cfg, tmp_path):
     bad.TPU.train_encoder = "nope"
     with pytest.raises(ValueError, match="train_encoder"):
         Solver(bad, use_writer=False)
+
+
+def test_train_encoder_auto_resolution(cfg, tmp_path):
+    """'auto' (the default) rides the fused encoder only where it measured
+    faster — real accelerator + bf16 + model_nefnet — and resolves to 'xla'
+    everywhere else. On the CPU test backend it must therefore ALWAYS pick
+    'xla' (the kernel would run interpreted), for both compute dtypes."""
+    c = cfg.clone()
+    c.output_dir = str(tmp_path)
+    assert c.TPU.train_encoder == "auto"  # the shipped default
+    s = Solver(c, use_writer=False)
+    assert s._train_encoder_mode(mixed=True) == "xla"  # CPU backend
+    assert s._train_encoder_mode(mixed=False) == "xla"
+
+    # the measured-win regime is gated on backend, dtype, AND model: with a
+    # non-CPU backend 'auto' picks fused only for bf16 model_nefnet
+    import unittest.mock as mock
+
+    fake = mock.MagicMock()
+    fake.platform = "tpu"
+    with mock.patch("jax.devices", return_value=[fake]):
+        assert s._train_encoder_mode(mixed=True) == "fused"
+        assert s._train_encoder_mode(mixed=False) == "xla"
+        s.cfg.MODEL.model = "model_nefnet2"
+        assert s._train_encoder_mode(mixed=True) == "xla"
+        s.cfg.MODEL.model = "model_nefnet"
+
+    # explicit settings pass through untouched
+    s.cfg.TPU.train_encoder = "fused"
+    assert s._train_encoder_mode(mixed=True) == "fused"
+    s.cfg.TPU.train_encoder = "xla"
+    assert s._train_encoder_mode(mixed=True) == "xla"
