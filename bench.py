@@ -141,24 +141,32 @@ def main():
     )
     vstack_f32 = jnp.asarray(rng.uniform(-np.pi, np.pi, (K, B, V, 2)).astype(np.float32))
 
-    # ---- paths 1+2: fused Pallas decoder (f32 full fidelity; bf16 storage)
-    def bench_fused(name, storage_dtype, v_tile):
+    # ---- paths 1+2: fused Pallas decoder (f32 full fidelity; bf16 storage).
+    # Production runs the BASIS decode (angular encodings in, rank-J mix of
+    # the pre-ReLU head outside the kernel); basis=False keeps the legacy
+    # in-kernel gate path benched for the A/B delta.
+    def bench_fused(name, storage_dtype, v_tile, basis=True):
         from electrocardio_panorama_tpu.ops.pallas.decoder_fused import (
             fold_decoder_bn,
             fused_decode_views,
         )
+        from electrocardio_panorama_tpu.ops.theta import angular_encode
 
         folded = fold_decoder_bn(params, bn_state, dtype=storage_dtype)
 
         @jax.jit
         def chain(p, f, data, input_theta, rois, vs):
-            # full workload: encode once + per-sweep gates + fused decode
+            # full workload: encode once + per-sweep view prep + fused decode
             latent = model.encode(p, data, input_theta, rois).latent_all
             latent = latent.astype(storage_dtype)
 
             def body(carry, v):
-                gates = query_gates(p, v).astype(storage_dtype)
-                out = fused_decode_views(f, latent, gates, v_tile=v_tile)
+                if basis:
+                    out = fused_decode_views(
+                        f, latent, enc=angular_encode(v, 1), v_tile=v_tile)
+                else:
+                    gates = query_gates(p, v).astype(storage_dtype)
+                    out = fused_decode_views(f, latent, gates, v_tile=v_tile)
                 return carry + out.sum(), None
 
             acc, _ = jax.lax.scan(body, 0.0, vs)
@@ -177,6 +185,7 @@ def main():
     # and correlates > 0.999 vs f32 (tests/test_pallas_decoder.py).
     bench_fused("pallas_fused_f32", jnp.float32, 16)
     bench_fused("pallas_fused_bf16", jnp.bfloat16, 16)
+    bench_fused("pallas_gatekernel_bf16", jnp.bfloat16, 16, basis=False)
 
     # ---- path 3: XLA decoder, bf16, scan-chained
     dtype = jnp.bfloat16
@@ -272,8 +281,10 @@ def main():
         latent = latent.astype(jnp.bfloat16)
 
         def body(carry, v):
-            gates = query_gates(p, v).astype(jnp.bfloat16)
-            out = fused_decode_views(f, latent, gates, v_tile=16)
+            from electrocardio_panorama_tpu.ops.theta import angular_encode
+
+            out = fused_decode_views(f, latent, enc=angular_encode(v, 1),
+                                     v_tile=16)
             return carry + out.sum(), None
 
         acc, _ = jax.lax.scan(body, 0.0, vs)

@@ -88,6 +88,14 @@ def fold_decoder_bn(params: dict, state: dict, dtype=jnp.float32) -> dict:
         # and convs 4-5 CARRY f32 (the pre-sigmoid values must not round).
         out[f"w{i}"] = jnp.transpose(w, (2, 0, 1)).astype(dtype)
         out[f"b{i}"] = b  # f32
+    # affine gate basis for the rank-J basis decode (see basis_y1):
+    # gate[v] = A @ [enc(theta_v); 1] exactly (ops.linear computes
+    # enc @ W.T + b, reference model_nefnet.py:163-165). Kept f32 — it only
+    # enters the per-beat U precompute, never the per-view hot path.
+    if "mlp2.weight" in params:
+        out["A"] = jnp.concatenate(
+            [params["mlp2.weight"].astype(jnp.float32),
+             params["mlp2.bias"].astype(jnp.float32)[:, None]], axis=1)
     return out
 
 
@@ -511,6 +519,130 @@ def dotfuse_operands(folded: dict):
     return u1eo, ab_m, c01, c23, b3_2, w4_12, w4_z0, w4_01, w4_2z
 
 
+def basis_y1(folded: dict, latent_all, enc, *, f32: bool):
+    """Rank-J closed form of the decode chain's entire pre-ReLU head:
+    gate multiply -> Upsample(x2) -> conv1(k3) -> folded BN -> +b1 -> ReLU.
+
+    Every op before the first ReLU is LINEAR in (gate ! latent), and the
+    gate itself is affine in the J-1 angular-encoding features
+    (gate[v] = A @ [enc_v; 1], A = [mlp2.weight | mlp2.bias]). So across V
+    views the whole head has rank <= J per beat:
+
+        y1[v] = relu( sum_j e'[v, j] * U[j]  +  b1 ),
+        U[j]  = sum_k (w1[k] * A[:, j][None, :]) @ latent @ u1eo[k]
+
+    U is J basis planes [128, 256] per BEAT (13 conv1 evaluations instead
+    of V=336), and each view costs one [V, J] mix matmul instead of the
+    gate stage + upconv1 (the two largest non-roofline stages of the
+    per-view kernel). u1eo is the parity-split upsample operator, so U and
+    the mixed y1 land directly in the kernel's [e|o] lane layout.
+
+    enc: [B, V, J-1] angular encodings (NOT gates). Returns y1
+    [B, V, 128, 256] in the folded storage dtype, post-ReLU.
+    """
+    lat = latent_all.astype(jnp.float32)            # [B, 256, 128]
+    A = folded["A"]                                 # [256, J] f32
+    dtype = folded["w1"].dtype
+    prec = jax.lax.Precision.HIGHEST if f32 else None
+    u1 = upsample_shift_matrices(FEAT, jnp.float32)
+    u1eo = jnp.concatenate([u1[:, :, 0::2], u1[:, :, 1::2]], axis=2)
+    # [3, 128, 256] f32: parity-split upsample operator (polyphase_matrices)
+    w1 = folded["w1"].astype(jnp.float32)           # [3, 128, 256]
+    # per-beat basis planes: T[b,k] = lat[b] @ u1eo[k]; U[b,j] = sum_k
+    # (w1[k] * A[:,j]) @ T[b,k]  — contraction widths 128/768, K-efficient
+    T = jnp.einsum("bct,ktu->bkcu", lat, u1eo,
+                   precision=prec, preferred_element_type=jnp.float32)
+    w1a = jnp.einsum("kfc,cj->kjfc", w1, A,
+                     precision=prec, preferred_element_type=jnp.float32)
+    U = jnp.einsum("kjfc,bkcu->bjfu", w1a, T,
+                   precision=prec, preferred_element_type=jnp.float32)
+    ones = jnp.ones(enc.shape[:-1] + (1,), jnp.float32)
+    ep = jnp.concatenate([enc.astype(jnp.float32), ones], axis=-1)  # [B,V,J]
+    if not f32:
+        ep, U = ep.astype(jnp.bfloat16), U.astype(jnp.bfloat16)
+    y = jnp.einsum("bvj,bjfu->bvfu", ep, U,
+                   precision=prec, preferred_element_type=jnp.float32)
+    return jnp.maximum(y + folded["b1"][None, None, :, None], 0.0).astype(dtype)
+
+
+def _decoder_kernel_ppb(y1_ref, selw_ref, abm_ref, c01_ref, c23_ref,
+                        w2, b2, b3_2d, w4a, w4b, w4c, w4d, b4, b5_2d,
+                        out_ref, *, vt: int, storage_dtype):
+    """Basis-decode kernel: _decoder_kernel_pp from conv2 onward — the gate
+    stage and upconv1 are computed OUTSIDE as the rank-J basis mix
+    (basis_y1) and stream in as ready post-ReLU [e|o] planes."""
+    od = storage_dtype
+
+    def brep(vec):
+        return pltpu.repeat(vec.reshape(-1, 1), vt, axis=0)  # [VT*C, 1] f32
+
+    def r3(h2, c):
+        return h2.astype(od).reshape(vt, c, h2.shape[1])
+
+    def wb(w2d):
+        return jnp.broadcast_to(w2d[None], (vt, *w2d.shape))
+
+    zc = jnp.zeros((vt * 128, 1), od)
+    Y = y1_ref[0].reshape(vt * 128, 256)
+
+    # conv2 N-fused (identical to _decoder_kernel_pp from here down)
+    e, o = Y[:, :FEAT], Y[:, FEAT:]
+    X0 = jnp.concatenate([zc, o[:, :FEAT - 1], e], axis=1)
+    X2 = jnp.concatenate([o, e[:, 1:], zc], axis=1)
+    ce_co = (_bdot_vc(wb(w2[0]), r3(X0, 128))
+             + _bdot_vc(wb(w2[1]), r3(Y, 128))
+             + _bdot_vc(wb(w2[2]), r3(X2, 128)))
+    Y = jnp.maximum(ce_co.reshape(vt * 128, 256) + brep(b2[:]), 0.0).astype(od)
+
+    # upconv2 M-stacked
+    e, o = Y[:, :FEAT], Y[:, FEAT:]
+    om = jnp.concatenate([zc, o[:, :FEAT - 1]], axis=1)
+    ep = jnp.concatenate([e[:, 1:], zc], axis=1)
+    e3, o3, om3, ep3 = r3(e, 128), r3(o, 128), r3(om, 128), r3(ep, 128)
+    AB = [wb(abm_ref[k]) for k in range(3)]
+    PL = _bdot_vc(AB[0], om3) + _bdot_vc(AB[1], e3) + _bdot_vc(AB[2], o3)
+    PR = _bdot_vc(AB[0], e3) + _bdot_vc(AB[1], o3) + _bdot_vc(AB[2], ep3)
+    xb0 = jnp.concatenate(
+        [e[:, 0:1], jnp.zeros((vt * 128, 7), od)], axis=1).reshape(vt, 128, 8)
+    xb1 = jnp.concatenate(
+        [o[:, QW - 1:QW], jnp.zeros((vt * 128, 7), od)], axis=1
+    ).reshape(vt, 128, 8)
+    corrL = _bdot_vc(wb(c01_ref[:]), xb0).reshape(vt * 128, 8)
+    corrR = _bdot_vc(wb(c23_ref[:]), xb1).reshape(vt * 128, 8)
+    z127 = jnp.zeros((vt * 128, QW - 1), jnp.float32)
+    PL = PL.reshape(vt * 128, QW) + jnp.concatenate(
+        [corrL[:, 0:1], z127], axis=1)
+    PR = PR.reshape(vt * 128, QW) + jnp.concatenate(
+        [z127, corrR[:, 0:1]], axis=1)
+    bb = brep(b3_2d[:])
+    PL = jnp.maximum(PL + bb, 0.0).astype(od)
+    PR = jnp.maximum(PR + bb, 0.0).astype(od)
+
+    # conv4 at K=128
+    PRs, PLs = _shiftR_vc(PR), _shiftL_vc(PL)
+    PL3, PR3 = r3(PL, 128), r3(PR, 128)
+    PRs3, PLs3 = r3(PRs, 128), r3(PLs, 128)
+    q0 = _bdot_vc(wb(w4a[:]), PL3) + _bdot_vc(wb(w4b[:]), PRs3)
+    q1 = _bdot_vc(wb(w4c[:]), PL3) + _bdot_vc(wb(w4d[:]), PR3)
+    q2 = _bdot_vc(wb(w4b[:]), PL3) + _bdot_vc(wb(w4a[:]), PR3)
+    q3 = _bdot_vc(wb(w4c[:]), PR3) + _bdot_vc(wb(w4d[:]), PLs3)
+    bb = pltpu.repeat(b4[:].reshape(-1, 1), vt, axis=0)
+    q0 = jnp.maximum(q0.reshape(vt * 64, QW) + bb, 0.0)
+    q1 = jnp.maximum(q1.reshape(vt * 64, QW) + bb, 0.0)
+    q2 = jnp.maximum(q2.reshape(vt * 64, QW) + bb, 0.0)
+    q3 = jnp.maximum(q3.reshape(vt * 64, QW) + bb, 0.0)
+
+    # conv5 N-fused
+    Q1 = jnp.concatenate([q0, q1, q2, q3], axis=1).astype(od)
+    q3m = _shiftR_vc(q3.astype(od))
+    q0p = _shiftL_vc(q0.astype(od))
+    Q0 = jnp.concatenate([q3m, Q1[:, : 3 * QW]], axis=1)
+    Q2 = jnp.concatenate([Q1[:, QW:], q0p], axis=1)
+    out = (_dot2_vc(selw_ref[0], Q0) + _dot2_vc(selw_ref[1], Q1)
+           + _dot2_vc(selw_ref[2], Q2)) + b5_2d[:]           # [VT, 4*128]
+    out_ref[0] = jax.nn.sigmoid(out / 3.0).astype(out_ref.dtype)
+
+
 def _decoder_kernel_pp(latent_ref, gpack_ref, m1_ref, m2_ref, ones_ref,
                        selw_ref, u1eo_ref, abm_ref, c01_ref, c23_ref,
                        w1, b1, w2, b2, b3_2d, w4a, w4b, w4c, w4d, b4, b5_2d,
@@ -614,30 +746,80 @@ def _decoder_kernel_pp(latent_ref, gpack_ref, m1_ref, m2_ref, ones_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("v_tile", "interpret"))
-def fused_decode_views(folded: dict, latent_all, gates, *, v_tile: int = 16,
-                       interpret: bool = False):
-    """latent_all: [B, 256, 128]; gates: [B, V, 256] (query_gates output).
-    Returns [B, V, 512] f32. V is padded up to a multiple of v_tile with zero
-    gates internally and the output trimmed back.
+def fused_decode_views(folded: dict, latent_all, gates=None, *,
+                       enc=None, v_tile: int = 16, interpret: bool = False):
+    """latent_all: [B, 256, 128]. Returns [B, V, 512] f32. V is padded up to
+    a multiple of v_tile internally and the output trimmed back.
+
+    Two view-conditioning forms:
+      * enc [B, V, J-1] (angular encodings, NOT gates) — the production
+        BASIS path: the whole pre-ReLU head (gate x latent, upsample, conv1,
+        folded BN) collapses to J basis planes per beat + one [V, J] mix
+        matmul (basis_y1), and the kernel runs conv2 onward. Requires the
+        "A" key fold_decoder_bn records from mlp2.
+      * gates [B, V, 256] (query_gates output) — the legacy in-kernel gate
+        path, kept for A/B audits and f32 layout A.
 
     The activation storage dtype follows the folded weights: pass a
-    fold_decoder_bn(dtype=bf16) dict for the bf16 pipeline (f32 gate stage,
-    bf16 activations/matmul operands, f32 accumulation + pre-sigmoid tail);
+    fold_decoder_bn(dtype=bf16) dict for the bf16 pipeline (bf16
+    activations/matmul operands, f32 accumulation + pre-sigmoid tail);
     v_tile must then be a multiple of 16 (bf16 sublane) instead of 8.
-    latent/gates are upcast to f32 for the gate stage either way.
     """
-    B, V = gates.shape[0], gates.shape[1]
+    if (gates is None) == (enc is None):
+        raise ValueError("pass exactly one of gates= or enc=")
+    views = enc if gates is None else gates
+    B, V = views.shape[0], views.shape[1]
     dtype = folded["w1"].dtype
     latent_all = latent_all.astype(jnp.float32)
-    gates = gates.astype(jnp.float32)
     validate_v_tile(v_tile, dtype)
     pad = (-V) % v_tile
+    Vp = V + pad
+    n_vt = Vp // v_tile
+
+    if enc is not None:
+        if "A" not in folded:
+            raise ValueError(
+                "basis decode needs folded['A'] — re-fold with a params dict "
+                "containing mlp2.weight/mlp2.bias (fold_decoder_bn)")
+        if pad:
+            enc = jnp.concatenate(
+                [enc, jnp.zeros((B, pad, enc.shape[2]), enc.dtype)], axis=1)
+        y1 = basis_y1(folded, latent_all, enc, f32=dtype == jnp.float32)
+        selw = conv5_selectors(v_tile, folded["w5"], dtype)
+        _, ab_m, c01, c23, b3_2, w4a, w4b, w4c, w4d = dotfuse_operands(folded)
+        kernel = functools.partial(_decoder_kernel_ppb, vt=v_tile,
+                                   storage_dtype=dtype)
+        weight_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 13
+        out = pl.pallas_call(
+            kernel,
+            grid=(B, n_vt),
+            in_specs=[
+                pl.BlockSpec((1, v_tile, FEAT, 2 * FEAT),
+                             lambda b, v: (b, v, 0, 0),
+                             memory_space=pltpu.VMEM),
+                *weight_specs,
+            ],
+            out_specs=pl.BlockSpec((1, v_tile, SEQ), lambda b, v: (b, v, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, Vp, SEQ), jnp.float32),
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=VMEM_LIMIT_BYTES,
+            ),
+        )(
+            y1, selw, ab_m, c01, c23,
+            folded["w2"], folded["b2"], b3_2,
+            w4a, w4b, w4c, w4d, folded["b4"],
+            folded["b5"].reshape(1, 1),
+        )
+        out = out.reshape(B, Vp, 4, QW).transpose(0, 1, 3, 2).reshape(B, Vp, SEQ)
+        return out[:, :V] if pad else out
+
+    gates = gates.astype(jnp.float32)
     if pad:
         gates = jnp.concatenate(
             [gates, jnp.zeros((B, pad, gates.shape[2]), gates.dtype)], axis=1
         )
-    Vp = V + pad
-    n_vt = Vp // v_tile
 
     if dtype != jnp.float32 or not _F32_LAYOUT_A:
         # polyphase layout-B kernel (the production pipeline; docs/KERNELS.md):

@@ -159,21 +159,20 @@ def build_sharded_panorama(model_def, mesh: Mesh, *, data_axis: str = "data",
     """
 
     if use_fused:
-        from electrocardio_panorama_tpu.models.nefnet import query_gates
         from electrocardio_panorama_tpu.ops.pallas.decoder_fused import (
             fold_decoder_bn,
             fused_decode_views,
         )
+        from electrocardio_panorama_tpu.ops.theta import angular_encode
 
         def local_render(params, bn_state, data, input_theta, rois, views):
             latent = model_def.encode(params, data, input_theta, rois).latent_all
             folded = fold_decoder_bn(params, bn_state, dtype=compute_dtype)
             v = jnp.broadcast_to(views[None], (latent.shape[0], *views.shape))
-            gates = query_gates(
-                params, v, theta_encoder_len=model_def.theta_encoder_len
-            )
+            # basis decode: angular encodings in, rank-J mix inside
+            enc = angular_encode(v, model_def.theta_encoder_len)
             return fused_decode_views(
-                folded, latent.astype(compute_dtype), gates.astype(compute_dtype),
+                folded, latent.astype(compute_dtype), enc=enc,
                 v_tile=v_tile, interpret=interpret,
             )
     else:

@@ -88,13 +88,13 @@ class PanoramaGenerator:
         if v.ndim == 2:
             v = jnp.broadcast_to(v[None], (latent.shape[0], *v.shape))
         if self._folded is not None:
-            from electrocardio_panorama_tpu.models.nefnet import query_gates
             from electrocardio_panorama_tpu.ops.pallas.decoder_fused import fused_decode_views
+            from electrocardio_panorama_tpu.ops.theta import angular_encode
 
-            gates = query_gates(
-                self.params, v, theta_encoder_len=self.model.theta_encoder_len
-            )
-            return fused_decode_views(self._folded, latent, gates, v_tile=self.v_tile)
+            # basis decode: ship angular encodings; the gate/upsample/conv1
+            # head runs as the rank-J basis mix (decoder_fused.basis_y1)
+            enc = angular_encode(v, self.model.theta_encoder_len)
+            return fused_decode_views(self._folded, latent, enc=enc, v_tile=self.v_tile)
         return self._decode(self.params, self.bn_state, latent, v)
 
     def render_dataset(self, loader, views: np.ndarray, out_path: str | None = None,

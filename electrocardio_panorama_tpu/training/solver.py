@@ -269,9 +269,9 @@ class Solver:
         whole = whole_sequence_metrics(cfg)
         dec = self._eval_decoder_mode()
         if dec != "xla":
-            from electrocardio_panorama_tpu.models.nefnet import query_gates
             from electrocardio_panorama_tpu.ops.pallas.decoder_fused import (
                 fold_decoder_bn, fused_decode_views)
+            from electrocardio_panorama_tpu.ops.theta import angular_encode
 
             storage = jnp.bfloat16 if dec == "fused_bf16" else jnp.float32
             v_tile = 16 if storage == jnp.bfloat16 else 8
@@ -307,9 +307,12 @@ class Solver:
                 folded = fold_decoder_bn(params, bn_state, dtype=storage)
 
                 def rest_fn(latent_all, r_theta):
-                    gates = query_gates(params, r_theta).astype(storage)
+                    # basis decode: pass angular ENCODINGS, not gates — the
+                    # gate x upsample x conv1 head runs as the rank-J basis
+                    # mix (decoder_fused.basis_y1)
+                    enc = angular_encode(r_theta, cfg.MODEL.theta_L)
                     return fused_decode_views(
-                        folded, latent_all.astype(storage), gates,
+                        folded, latent_all.astype(storage), enc=enc,
                         v_tile=v_tile, interpret=interpret,
                     )
 

@@ -80,6 +80,80 @@ def test_v_tile_validation():
     assert vmem_bytes_estimate(24, jnp.float32) < VMEM_LIMIT_BYTES
 
 
+def test_basis_decode_matches_xla(rng):
+    """The production BASIS path (rank-J mix of the pre-ReLU head outside the
+    kernel, conv2-onward kernel) is value-equal to the XLA decoder: the basis
+    identity gate[v] = A @ [enc_v; 1] is exact, and basis_y1 only reorders the
+    head's linear algebra. Non-trivial BN stats so folded['A']/b1 interplay is
+    exercised; views NOT a v_tile multiple so the enc padding path runs."""
+    model = NefNetDef(3)
+    params, state = model.init(jax.random.PRNGKey(0))
+    state = {
+        k: (jnp.asarray(rng.uniform(0.5, 2.0, v.shape).astype(np.float32))
+            if k.endswith("running_var")
+            else jnp.asarray(rng.standard_normal(v.shape).astype(np.float32)) * 0.1
+            if k.endswith("running_mean") else v)
+        for k, v in state.items()
+    }
+    latent = jnp.asarray(rng.standard_normal((2, 256, 128)).astype(np.float32) * 0.3)
+    views = jnp.asarray(rng.uniform(-np.pi, np.pi, (2, 11, 2)).astype(np.float32))
+
+    from electrocardio_panorama_tpu.ops.theta import angular_encode
+
+    ref = decode_views(params, state, latent, views)
+    folded = fold_decoder_bn(params, state)
+    ours = fused_decode_views(
+        folded, latent, enc=angular_encode(views, 1), v_tile=8, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+
+def test_basis_decode_bf16(rng):
+    """bf16 basis path on realistic latents: corr > 0.999 and atol 1e-4 vs
+    the f32 XLA decoder (same bar as the legacy gate-kernel bf16 test)."""
+    model = NefNetDef(3)
+    params, state = model.init(jax.random.PRNGKey(2))
+    data = jnp.asarray(rng.uniform(0, 1, (2, 3, 512)).astype(np.float32))
+    it = jnp.asarray(rng.uniform(-np.pi, np.pi, (2, 3, 2)).astype(np.float32))
+    cuts = np.sort(rng.choice(np.arange(8, 504, 4), size=6, replace=False))
+    pts = np.concatenate([[0], cuts, [512]])
+    rois = jnp.asarray(np.broadcast_to(np.stack([pts[:-1], pts[1:]], 1), (2, 7, 2)))
+    latent = model.encode(params, data, it, rois).latent_all
+    views = jnp.asarray(rng.uniform(-np.pi, np.pi, (2, 16, 2)).astype(np.float32))
+
+    from electrocardio_panorama_tpu.ops.theta import angular_encode
+
+    ref = np.asarray(decode_views(params, state, latent, views))
+    folded = fold_decoder_bn(params, state, dtype=jnp.bfloat16)
+    ours = np.asarray(fused_decode_views(
+        folded, latent, enc=angular_encode(views, 1), v_tile=16, interpret=True
+    ))
+    corr = np.corrcoef(ours.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.999, f"bf16 basis/f32 correlation {corr}"
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_basis_decode_arg_validation(rng):
+    import pytest
+
+    model = NefNetDef(3)
+    params, state = model.init(jax.random.PRNGKey(0))
+    latent = jnp.zeros((1, 256, 128), jnp.float32)
+    views = jnp.zeros((1, 8, 2), jnp.float32)
+    folded = fold_decoder_bn(params, state)
+    gates = query_gates(params, views)
+    with pytest.raises(ValueError, match="exactly one"):
+        fused_decode_views(folded, latent, gates, enc=views, interpret=True)
+    with pytest.raises(ValueError, match="exactly one"):
+        fused_decode_views(folded, latent, interpret=True)
+    stripped = {k: v for k, v in folded.items() if k != "A"}
+    from electrocardio_panorama_tpu.ops.theta import angular_encode
+
+    with pytest.raises(ValueError, match="mlp2"):
+        fused_decode_views(stripped, latent, enc=angular_encode(views, 1),
+                           v_tile=8, interpret=True)
+
+
 def test_fused_decoder_nonuniform_bn_state(rng):
     """BN folding must use the actual running stats, not the initial 0/1."""
     model = NefNetDef(3)

@@ -92,14 +92,21 @@ def main(n_views: int = 16) -> int:
 
     oracle = torch_decoder_oracle(params, state, np.asarray(latent), np.asarray(gates))
 
+    from electrocardio_panorama_tpu.ops.theta import angular_encode
+
+    enc = angular_encode(views, 1)
     rows = {}
     rows["xla_f32"] = np.asarray(decode_views(params, state, latent, views))
     folded_f32 = fold_decoder_bn(params, state)
     rows["pallas_f32"] = np.asarray(
         fused_decode_views(folded_f32, latent, gates, v_tile=16))
+    rows["basis_f32"] = np.asarray(
+        fused_decode_views(folded_f32, latent, enc=enc, v_tile=16))
     folded_bf16 = fold_decoder_bn(params, state, dtype=jnp.bfloat16)
     rows["pallas_bf16"] = np.asarray(
         fused_decode_views(folded_bf16, latent, gates, v_tile=16))
+    rows["basis_bf16"] = np.asarray(
+        fused_decode_views(folded_bf16, latent, enc=enc, v_tile=16))
 
     ok = True
     for name, out in rows.items():
@@ -119,6 +126,8 @@ def main(n_views: int = 16) -> int:
               f"mae {mae:.2e}  max {mx:.2e}  {'OK' if good else 'FAIL'}")
     d = np.abs(rows["pallas_f32"] - rows["xla_f32"])
     print(f"pallas_f32 vs xla_f32 (same chip): mae {d.mean():.2e} max {d.max():.2e}")
+    d = np.abs(rows["basis_f32"] - rows["xla_f32"])
+    print(f"basis_f32  vs xla_f32 (same chip): mae {d.mean():.2e} max {d.max():.2e}")
     print("PARITY:", "ok" if ok else "FAILED")
     return 0 if ok else 1
 
