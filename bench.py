@@ -142,9 +142,11 @@ def main():
     vstack_f32 = jnp.asarray(rng.uniform(-np.pi, np.pi, (K, B, V, 2)).astype(np.float32))
 
     # ---- paths 1+2: fused Pallas decoder (f32 full fidelity; bf16 storage).
-    # Production runs the BASIS decode (angular encodings in, rank-J mix of
-    # the pre-ReLU head outside the kernel); basis=False keeps the legacy
-    # in-kernel gate path benched for the A/B delta.
+    # Production runs the STREAMED-U basis decode (angular encodings in; the
+    # per-beat rank-J basis planes stream into the kernel once per beat and
+    # the [vt, J] view mix runs in-kernel — head='auto' resolves to the
+    # per-dtype winner, decoder_fused._basis_head_auto); basis=False keeps
+    # the legacy in-kernel gate path benched for the A/B delta.
     def bench_fused(name, storage_dtype, v_tile, basis=True):
         from electrocardio_panorama_tpu.ops.pallas.decoder_fused import (
             fold_decoder_bn,
@@ -183,7 +185,9 @@ def main():
     # tools/bench_kernel_variants.py). The bf16 pipeline compiles since the
     # gate stage went f32 (Mosaic's one bf16-hostile pattern — docs/KERNELS.md)
     # and correlates > 0.999 vs f32 (tests/test_pallas_decoder.py).
-    bench_fused("pallas_fused_f32", jnp.float32, 16)
+    # f32 rides the stream_scalar head whose measured-best tile is 8
+    # (tools/bench_kernel_basis_stream.py: 328k at vt8 vs 277k at vt16)
+    bench_fused("pallas_fused_f32", jnp.float32, 8)
     bench_fused("pallas_fused_bf16", jnp.bfloat16, 16)
     bench_fused("pallas_gatekernel_bf16", jnp.bfloat16, 16, basis=False)
 
@@ -452,6 +456,13 @@ def main():
     from electrocardio_panorama_tpu.utils import flops as F
 
     decode_tflops = views_per_sec * F.FULL_WORKLOAD_FLOPS_PER_VIEW / 1e12
+    # the rank-J basis collapse does strictly less work than the reference
+    # decode chain, so the ALGORITHMIC framing (reference-chain FLOPs /
+    # wall time) exceeds 100% of peak — that is the speedup-style number.
+    # decode_mfu_pct is framed on the FLOPs the winning pipeline EXECUTES
+    # (utils/flops.basis_decode_executed_flops_per_view).
+    decode_exec_tflops = (
+        views_per_sec * F.basis_decode_executed_flops_per_view() / 1e12)
     train_tflops = F.TRAIN_STEP_FLOPS_B32 / (train_med16 / K_TRAIN) / 1e12
     print(json.dumps({
         "metric": "panorama_views_per_sec_per_chip",
@@ -464,11 +475,20 @@ def main():
         "batch_beats": B,
         "views_per_beat": V,
         "chained_launches": K,
-        "decode_achieved_tflops": round(decode_tflops, 1),
-        "decode_mfu_pct": round(100 * decode_tflops * 1e12 / F.V5E_BF16_PEAK_FLOPS, 1),
+        "decode_algorithmic_tflops": round(decode_tflops, 1),
+        "decode_algorithmic_pct_of_peak": round(
+            100 * decode_tflops * 1e12 / F.V5E_BF16_PEAK_FLOPS, 1),
+        "decode_executed_tflops": round(decode_exec_tflops, 1),
+        "decode_mfu_pct": round(
+            100 * decode_exec_tflops * 1e12 / F.V5E_BF16_PEAK_FLOPS, 1),
         "train_achieved_tflops": round(train_tflops, 1),
         "train_mfu_pct": round(100 * train_tflops * 1e12 / F.V5E_BF16_PEAK_FLOPS, 1),
-        "mfu_basis": "model FLOPs (XLA cost analysis, tests/test_flops.py) / 197 TF v5e bf16 peak",
+        "mfu_basis": ("decode_mfu_pct = EXECUTED FLOPs of the streamed-basis "
+                      "pipeline / 197 TF v5e bf16 peak; the algorithmic "
+                      "framing (reference-chain model FLOPs, "
+                      "tests/test_flops.py) is reported separately and may "
+                      "exceed 100% because the rank-J basis collapse removes "
+                      "work"),
         "dense_sweep_views_per_sec": round(dense_sweep_views_per_sec, 1),
         "dense_sweep_shape": [B_DS, V_DS],
         "encode_ms_per_launch_batch32": round(encode_ms, 3),

@@ -519,30 +519,26 @@ def dotfuse_operands(folded: dict):
     return u1eo, ab_m, c01, c23, b3_2, w4_12, w4_z0, w4_01, w4_2z
 
 
-def basis_y1(folded: dict, latent_all, enc, *, f32: bool):
-    """Rank-J closed form of the decode chain's entire pre-ReLU head:
-    gate multiply -> Upsample(x2) -> conv1(k3) -> folded BN -> +b1 -> ReLU.
+def basis_planes(folded: dict, latent_all, *, f32: bool):
+    """Per-beat rank-J basis planes of the decode chain's pre-ReLU head.
 
     Every op before the first ReLU is LINEAR in (gate ! latent), and the
     gate itself is affine in the J-1 angular-encoding features
     (gate[v] = A @ [enc_v; 1], A = [mlp2.weight | mlp2.bias]). So across V
-    views the whole head has rank <= J per beat:
+    views the whole head — gate multiply -> Upsample(x2) -> conv1(k3) ->
+    folded BN — has rank <= J per beat:
 
         y1[v] = relu( sum_j e'[v, j] * U[j]  +  b1 ),
         U[j]  = sum_k (w1[k] * A[:, j][None, :]) @ latent @ u1eo[k]
 
     U is J basis planes [128, 256] per BEAT (13 conv1 evaluations instead
-    of V=336), and each view costs one [V, J] mix matmul instead of the
-    gate stage + upconv1 (the two largest non-roofline stages of the
-    per-view kernel). u1eo is the parity-split upsample operator, so U and
-    the mixed y1 land directly in the kernel's [e|o] lane layout.
+    of V=336). u1eo is the parity-split upsample operator, so U and the
+    mixed y1 land directly in the kernel's [e|o] lane layout.
 
-    enc: [B, V, J-1] angular encodings (NOT gates). Returns y1
-    [B, V, 128, 256] in the folded storage dtype, post-ReLU.
+    Returns U [B, J, 128, 256] f32 (caller casts to the storage dtype).
     """
     lat = latent_all.astype(jnp.float32)            # [B, 256, 128]
     A = folded["A"]                                 # [256, J] f32
-    dtype = folded["w1"].dtype
     prec = jax.lax.Precision.HIGHEST if f32 else None
     u1 = upsample_shift_matrices(FEAT, jnp.float32)
     u1eo = jnp.concatenate([u1[:, :, 0::2], u1[:, :, 1::2]], axis=2)
@@ -554,10 +550,29 @@ def basis_y1(folded: dict, latent_all, enc, *, f32: bool):
                    precision=prec, preferred_element_type=jnp.float32)
     w1a = jnp.einsum("kfc,cj->kjfc", w1, A,
                      precision=prec, preferred_element_type=jnp.float32)
-    U = jnp.einsum("kjfc,bkcu->bjfu", w1a, T,
-                   precision=prec, preferred_element_type=jnp.float32)
+    return jnp.einsum("kjfc,bkcu->bjfu", w1a, T,
+                      precision=prec, preferred_element_type=jnp.float32)
+
+
+def basis_coeffs(enc) -> jnp.ndarray:
+    """[B, V, J] f32 mix coefficients: the angular encodings with the
+    affine-gate ones column appended (gate[v] = A @ [enc_v; 1])."""
     ones = jnp.ones(enc.shape[:-1] + (1,), jnp.float32)
-    ep = jnp.concatenate([enc.astype(jnp.float32), ones], axis=-1)  # [B,V,J]
+    return jnp.concatenate([enc.astype(jnp.float32), ones], axis=-1)
+
+
+def basis_y1(folded: dict, latent_all, enc, *, f32: bool):
+    """Materialized rank-J head: mixes the per-beat basis planes
+    (basis_planes) against the view coefficients in XLA and returns the
+    post-ReLU y1 [B, V, 128, 256] in the folded storage dtype. The
+    production path streams the U planes into the kernel instead
+    (_decoder_kernel_ppu) — materializing y1 costs a [B,V,128,256] HBM
+    round-trip (~700 MB at B=32, V=336 bf16); this form is kept for A/B
+    audits and as the interpret-mode reference."""
+    dtype = folded["w1"].dtype
+    prec = jax.lax.Precision.HIGHEST if f32 else None
+    U = basis_planes(folded, latent_all, f32=f32)
+    ep = basis_coeffs(enc)                          # [B,V,J]
     if not f32:
         ep, U = ep.astype(jnp.bfloat16), U.astype(jnp.bfloat16)
     y = jnp.einsum("bvj,bjfu->bvfu", ep, U,
@@ -565,13 +580,12 @@ def basis_y1(folded: dict, latent_all, enc, *, f32: bool):
     return jnp.maximum(y + folded["b1"][None, None, :, None], 0.0).astype(dtype)
 
 
-def _decoder_kernel_ppb(y1_ref, selw_ref, abm_ref, c01_ref, c23_ref,
-                        w2, b2, b3_2d, w4a, w4b, w4c, w4d, b4, b5_2d,
-                        out_ref, *, vt: int, storage_dtype):
-    """Basis-decode kernel: _decoder_kernel_pp from conv2 onward — the gate
-    stage and upconv1 are computed OUTSIDE as the rank-J basis mix
-    (basis_y1) and stream in as ready post-ReLU [e|o] planes."""
-    od = storage_dtype
+def _pp_tail(Y, selw_ref, abm_ref, c01_ref, c23_ref,
+             w2, b2, b3_2d, w4a, w4b, w4c, w4d, b4, b5_2d,
+             out_ref, *, vt: int, od):
+    """Shared conv2-onward body of the layout-B kernels: consumes the
+    post-ReLU [e|o] plane Y [VT*128, 256] ((view, channel) rows) and writes
+    the phase-blocked sigmoid output. Stage comments in _decoder_kernel_pp."""
 
     def brep(vec):
         return pltpu.repeat(vec.reshape(-1, 1), vt, axis=0)  # [VT*C, 1] f32
@@ -583,9 +597,8 @@ def _decoder_kernel_ppb(y1_ref, selw_ref, abm_ref, c01_ref, c23_ref,
         return jnp.broadcast_to(w2d[None], (vt, *w2d.shape))
 
     zc = jnp.zeros((vt * 128, 1), od)
-    Y = y1_ref[0].reshape(vt * 128, 256)
 
-    # conv2 N-fused (identical to _decoder_kernel_pp from here down)
+    # conv2 N-fused: [ce|co] = W0@[om|e] + W1@[e|o] + W2@[o|ep]
     e, o = Y[:, :FEAT], Y[:, FEAT:]
     X0 = jnp.concatenate([zc, o[:, :FEAT - 1], e], axis=1)
     X2 = jnp.concatenate([o, e[:, 1:], zc], axis=1)
@@ -643,6 +656,61 @@ def _decoder_kernel_ppb(y1_ref, selw_ref, abm_ref, c01_ref, c23_ref,
     out_ref[0] = jax.nn.sigmoid(out / 3.0).astype(out_ref.dtype)
 
 
+def _decoder_kernel_ppb(y1_ref, selw_ref, abm_ref, c01_ref, c23_ref,
+                        w2, b2, b3_2d, w4a, w4b, w4c, w4d, b4, b5_2d,
+                        out_ref, *, vt: int, storage_dtype):
+    """Basis-decode kernel (materialized-y1 form): _pp_tail fed by y1 planes
+    mixed OUTSIDE the kernel (basis_y1). Superseded in production by
+    _decoder_kernel_ppu, which streams the U planes and mixes in-kernel —
+    the [B,V,128,256] y1 HBM round-trip costs ~1.7 ms/launch at B=32,V=336
+    bf16. Kept for A/B audits."""
+    Y = y1_ref[0].reshape(vt * 128, 256)
+    _pp_tail(Y, selw_ref, abm_ref, c01_ref, c23_ref,
+             w2, b2, b3_2d, w4a, w4b, w4c, w4d, b4, b5_2d,
+             out_ref, vt=vt, od=storage_dtype)
+
+
+def _decoder_kernel_ppu(ut_ref, ep_ref, b1,
+                        selw_ref, abm_ref, c01_ref, c23_ref,
+                        w2, b2, b3_2d, w4a, w4b, w4c, w4d, b4, b5_2d,
+                        out_ref, *, vt: int, storage_dtype, mix: str):
+    """Streamed-U basis kernel: the per-beat rank-J basis planes U stream in
+    ONCE PER BEAT (the block index ignores the view-tile grid axis, so the
+    pipeline skips the re-fetch on revisits — 27 MB total at B=32 vs the
+    700 MB y1 round-trip) and the [vt, J] view mix runs IN-KERNEL:
+
+        y1[v] = relu( sum_j ep[v, j] * U[j] + b1 )
+
+    mix='fdot': one f-batched MXU dot (ep broadcast against the
+    f-major-transposed planes ut [128, J, 256]) followed by a (1,0,2)
+    transpose into (view, channel) rows — 6.8 MMACs/program on the MXU.
+    mix='scalar': per-(view, j) scalar-coefficient VPU accumulation over
+    U[j] planes (ep read from SMEM) — no transpose, pure elementwise."""
+    od = storage_dtype
+
+    if mix == "fdot":
+        ep = ep_ref[0, 0].astype(od)                       # [vt, J]
+        a3 = jnp.broadcast_to(ep[None], (FEAT, *ep.shape))  # [128, vt, J]
+        z = _bdot_vc(a3, ut_ref[0].astype(od))             # [128, vt, 256] f32
+        y2 = jnp.transpose(z, (1, 0, 2)).reshape(vt * FEAT, 2 * FEAT)
+    else:
+        jn = ep_ref.shape[-1]
+        pieces = []
+        for v in range(vt):
+            acc = None
+            for j in range(jn):
+                s = ep_ref[0, 0, v, j]                     # SMEM f32 scalar
+                term = ut_ref[0][j] * s                    # [128, 256] f32
+                acc = term if acc is None else acc + term
+            pieces.append(acc)
+        y2 = jnp.concatenate(pieces, axis=0)               # [vt*128, 256] f32
+    b1col = pltpu.repeat(b1[:].reshape(-1, 1), vt, axis=0)
+    Y = jnp.maximum(y2 + b1col, 0.0).astype(od)
+    _pp_tail(Y, selw_ref, abm_ref, c01_ref, c23_ref,
+             w2, b2, b3_2d, w4a, w4b, w4c, w4d, b4, b5_2d,
+             out_ref, vt=vt, od=od)
+
+
 def _decoder_kernel_pp(latent_ref, gpack_ref, m1_ref, m2_ref, ones_ref,
                        selw_ref, u1eo_ref, abm_ref, c01_ref, c23_ref,
                        w1, b1, w2, b2, b3_2d, w4a, w4b, w4c, w4d, b4, b5_2d,
@@ -652,13 +720,8 @@ def _decoder_kernel_pp(latent_ref, gpack_ref, m1_ref, m2_ref, ones_ref,
     def brep(vec):
         return pltpu.repeat(vec.reshape(-1, 1), vt, axis=0)  # [VT*C, 1] f32
 
-    def r3(h2, c):
-        return h2.astype(od).reshape(vt, c, h2.shape[1])
-
     def wb(w2d):
         return jnp.broadcast_to(w2d[None], (vt, *w2d.shape))
-
-    zc = jnp.zeros((vt * 128, 1), od)
 
     # gate stage in COLUMN form: expand the packed block to a [VT*256, 1]
     # column via a narrow N=8 dot, then one lane-broadcast multiply against
@@ -678,85 +741,43 @@ def _decoder_kernel_pp(latent_ref, gpack_ref, m1_ref, m2_ref, ones_ref,
     # bias column broadcasts across both parity halves along lanes
     Y = jnp.maximum(acc.reshape(vt * 128, 256) + brep(b1[:]), 0.0).astype(od)
 
-    # conv2 N-fused: [ce|co] = W0@[om|e] + W1@[e|o] + W2@[o|ep], with [e|o]
-    # the previous stage's output verbatim and the other two operands single
-    # 3-piece lane concats (they subsume the per-phase shift copies)
-    e, o = Y[:, :FEAT], Y[:, FEAT:]
-    X0 = jnp.concatenate([zc, o[:, :FEAT - 1], e], axis=1)
-    X2 = jnp.concatenate([o, e[:, 1:], zc], axis=1)
-    ce_co = (_bdot_vc(wb(w2[0]), r3(X0, 128))
-             + _bdot_vc(wb(w2[1]), r3(Y, 128))
-             + _bdot_vc(wb(w2[2]), r3(X2, 128)))
-    Y = jnp.maximum(ce_co.reshape(vt * 128, 256) + brep(b2[:]), 0.0).astype(od)
-
-    # upconv2 M-stacked: PL = [p0;p1] over (om,e,o), PR = [p2;p3] over
-    # (e,o,ep) — the [A_k;B_k] pairs are dense, so M doubles for free
-    e, o = Y[:, :FEAT], Y[:, FEAT:]
-    om = jnp.concatenate([zc, o[:, :FEAT - 1]], axis=1)
-    ep = jnp.concatenate([e[:, 1:], zc], axis=1)
-    e3, o3, om3, ep3 = r3(e, 128), r3(o, 128), r3(om, 128), r3(ep, 128)
-    AB = [wb(abm_ref[k]) for k in range(3)]
-    PL = _bdot_vc(AB[0], om3) + _bdot_vc(AB[1], e3) + _bdot_vc(AB[2], o3)
-    PR = _bdot_vc(AB[0], e3) + _bdot_vc(AB[1], o3) + _bdot_vc(AB[2], ep3)
-    # edge-clamp corrections: M-stacked narrow N=8 dots on the boundary
-    # columns, injected by lane concat (PL at col 0, PR at col 127)
-    xb0 = jnp.concatenate(
-        [e[:, 0:1], jnp.zeros((vt * 128, 7), od)], axis=1).reshape(vt, 128, 8)
-    xb1 = jnp.concatenate(
-        [o[:, QW - 1:QW], jnp.zeros((vt * 128, 7), od)], axis=1
-    ).reshape(vt, 128, 8)
-    corrL = _bdot_vc(wb(c01_ref[:]), xb0).reshape(vt * 128, 8)
-    corrR = _bdot_vc(wb(c23_ref[:]), xb1).reshape(vt * 128, 8)
-    z127 = jnp.zeros((vt * 128, QW - 1), jnp.float32)
-    PL = PL.reshape(vt * 128, QW) + jnp.concatenate(
-        [corrL[:, 0:1], z127], axis=1)
-    PR = PR.reshape(vt * 128, QW) + jnp.concatenate(
-        [z127, corrR[:, 0:1]], axis=1)
-    bb = brep(b3_2d[:])
-    PL = jnp.maximum(PL + bb, 0.0).astype(od)
-    PR = jnp.maximum(PR + bb, 0.0).astype(od)
-
-    # conv4 at K=128: two concat-weight dots per output phase (f32-carried
-    # output — the pre-sigmoid tail must not round to bf16; operands follow
-    # the storage dtype as in layout A)
-    PRs, PLs = _shiftR_vc(PR), _shiftL_vc(PL)
-    PL3, PR3 = r3(PL, 128), r3(PR, 128)
-    PRs3, PLs3 = r3(PRs, 128), r3(PLs, 128)
-    q0 = _bdot_vc(wb(w4a[:]), PL3) + _bdot_vc(wb(w4b[:]), PRs3)
-    q1 = _bdot_vc(wb(w4c[:]), PL3) + _bdot_vc(wb(w4d[:]), PR3)
-    q2 = _bdot_vc(wb(w4b[:]), PL3) + _bdot_vc(wb(w4a[:]), PR3)
-    q3 = _bdot_vc(wb(w4c[:]), PR3) + _bdot_vc(wb(w4d[:]), PLs3)
-    bb = pltpu.repeat(b4[:].reshape(-1, 1), vt, axis=0)
-    q0 = jnp.maximum(q0.reshape(vt * 64, QW) + bb, 0.0)
-    q1 = jnp.maximum(q1.reshape(vt * 64, QW) + bb, 0.0)
-    q2 = jnp.maximum(q2.reshape(vt * 64, QW) + bb, 0.0)
-    q3 = jnp.maximum(q3.reshape(vt * 64, QW) + bb, 0.0)
-
-    # conv5 N-fused: 3 selector dots over [VT*64, 512] operands — the middle
-    # operand is one concat of the four phase planes; the outer two reuse
-    # 384 of its lanes
-    Q1 = jnp.concatenate([q0, q1, q2, q3], axis=1).astype(od)
-    q3m = _shiftR_vc(q3.astype(od))
-    q0p = _shiftL_vc(q0.astype(od))
-    Q0 = jnp.concatenate([q3m, Q1[:, : 3 * QW]], axis=1)
-    Q2 = jnp.concatenate([Q1[:, QW:], q0p], axis=1)
-    out = (_dot2_vc(selw_ref[0], Q0) + _dot2_vc(selw_ref[1], Q1)
-           + _dot2_vc(selw_ref[2], Q2)) + b5_2d[:]           # [VT, 4*128]
-    out_ref[0] = jax.nn.sigmoid(out / 3.0).astype(out_ref.dtype)
+    # conv2 onward: shared with the basis kernels (_pp_tail)
+    _pp_tail(Y, selw_ref, abm_ref, c01_ref, c23_ref,
+             w2, b2, b3_2d, w4a, w4b, w4c, w4d, b4, b5_2d,
+             out_ref, vt=vt, od=od)
 
 
-@functools.partial(jax.jit, static_argnames=("v_tile", "interpret"))
+def _basis_head_auto(dtype) -> str:
+    """Production mix form for the basis head, measured on v5e
+    (tools/bench_kernel_basis_stream.py, B=32, V=336, K=32 chained):
+
+      bf16: stream (MXU fdot mix)  5.78 ms/launch, 1.86M views/s — vs
+            y1-materialized 10.37 / 1.04M and the in-kernel gate kernel
+            9.77 / 1.10M;
+      f32:  stream_scalar (VPU mix) 32.8 ms / 328k — the HIGHEST-precision
+            multi-pass fdot measured 34.6 / 310k and y1 38.2 / 282k.
+    """
+    return "stream_scalar" if dtype == jnp.float32 else "stream"
+
+
+@functools.partial(jax.jit, static_argnames=("v_tile", "interpret", "head"))
 def fused_decode_views(folded: dict, latent_all, gates=None, *,
-                       enc=None, v_tile: int = 16, interpret: bool = False):
+                       enc=None, v_tile: int = 16, interpret: bool = False,
+                       head: str = "auto"):
     """latent_all: [B, 256, 128]. Returns [B, V, 512] f32. V is padded up to
     a multiple of v_tile internally and the output trimmed back.
 
     Two view-conditioning forms:
       * enc [B, V, J-1] (angular encodings, NOT gates) — the production
         BASIS path: the whole pre-ReLU head (gate x latent, upsample, conv1,
-        folded BN) collapses to J basis planes per beat + one [V, J] mix
-        matmul (basis_y1), and the kernel runs conv2 onward. Requires the
-        "A" key fold_decoder_bn records from mlp2.
+        folded BN) collapses to J basis planes per beat (basis_planes) which
+        STREAM into the kernel once per beat; the [vt, J] view mix runs
+        in-kernel (_decoder_kernel_ppu) and the kernel continues from conv2.
+        Requires the "A" key fold_decoder_bn records from mlp2. head=
+        "stream" (MXU fdot mix) | "stream_scalar" (VPU mix) |
+        "y1" (materialize y1 in XLA — pays a [B,V,128,256] HBM round-trip;
+        audit path) | "auto" (the per-dtype measured winner,
+        _basis_head_auto: stream for bf16, stream_scalar for f32).
       * gates [B, V, 256] (query_gates output) — the legacy in-kernel gate
         path, kept for A/B audits and f32 layout A.
 
@@ -781,37 +802,76 @@ def fused_decode_views(folded: dict, latent_all, gates=None, *,
             raise ValueError(
                 "basis decode needs folded['A'] — re-fold with a params dict "
                 "containing mlp2.weight/mlp2.bias (fold_decoder_bn)")
+        h = _basis_head_auto(dtype) if head == "auto" else head
+        if h not in ("stream", "stream_scalar", "y1"):
+            raise ValueError(f"unknown basis head {h!r}")
         if pad:
             enc = jnp.concatenate(
                 [enc, jnp.zeros((B, pad, enc.shape[2]), enc.dtype)], axis=1)
-        y1 = basis_y1(folded, latent_all, enc, f32=dtype == jnp.float32)
         selw = conv5_selectors(v_tile, folded["w5"], dtype)
         _, ab_m, c01, c23, b3_2, w4a, w4b, w4c, w4d = dotfuse_operands(folded)
-        kernel = functools.partial(_decoder_kernel_ppb, vt=v_tile,
-                                   storage_dtype=dtype)
-        weight_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 13
-        out = pl.pallas_call(
-            kernel,
-            grid=(B, n_vt),
-            in_specs=[
-                pl.BlockSpec((1, v_tile, FEAT, 2 * FEAT),
-                             lambda b, v: (b, v, 0, 0),
-                             memory_space=pltpu.VMEM),
-                *weight_specs,
-            ],
-            out_specs=pl.BlockSpec((1, v_tile, SEQ), lambda b, v: (b, v, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, Vp, SEQ), jnp.float32),
-            interpret=interpret,
-            compiler_params=None if interpret else pltpu.CompilerParams(
-                vmem_limit_bytes=VMEM_LIMIT_BYTES,
-            ),
-        )(
-            y1, selw, ab_m, c01, c23,
-            folded["w2"], folded["b2"], b3_2,
-            w4a, w4b, w4c, w4d, folded["b4"],
-            folded["b5"].reshape(1, 1),
-        )
+        tail_args = (selw, ab_m, c01, c23,
+                     folded["w2"], folded["b2"], b3_2,
+                     w4a, w4b, w4c, w4d, folded["b4"],
+                     folded["b5"].reshape(1, 1))
+        compiler_params = None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES)
+        out_spec = pl.BlockSpec((1, v_tile, SEQ), lambda b, v: (b, v, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B, Vp, SEQ), jnp.float32)
+        if h == "y1":
+            y1 = basis_y1(folded, latent_all, enc, f32=dtype == jnp.float32)
+            kernel = functools.partial(_decoder_kernel_ppb, vt=v_tile,
+                                       storage_dtype=dtype)
+            out = pl.pallas_call(
+                kernel,
+                grid=(B, n_vt),
+                in_specs=[
+                    pl.BlockSpec((1, v_tile, FEAT, 2 * FEAT),
+                                 lambda b, v: (b, v, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    *[pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
+                ],
+                out_specs=out_spec, out_shape=out_shape, interpret=interpret,
+                compiler_params=compiler_params,
+            )(y1, *tail_args)
+        else:
+            U = basis_planes(folded, latent_all, f32=dtype == jnp.float32)
+            ep4 = basis_coeffs(enc)                       # [B, Vp, J] f32
+            jn = ep4.shape[-1]
+            ep4 = ep4.reshape(B, n_vt, v_tile, jn)
+            if h == "stream":
+                # f-major planes for the f-batched MXU mix; the per-beat
+                # block index ignores the view axis, so the pipeline fetches
+                # U once per beat and revisits it across view tiles
+                ut = jnp.transpose(U, (0, 2, 1, 3)).astype(dtype)
+                ut_spec = pl.BlockSpec((1, FEAT, jn, 2 * FEAT),
+                                       lambda b, v: (b, 0, 0, 0),
+                                       memory_space=pltpu.VMEM)
+                ep_spec = pl.BlockSpec((1, 1, v_tile, jn),
+                                       lambda b, v: (b, v, 0, 0),
+                                       memory_space=pltpu.VMEM)
+                mix = "fdot"
+            else:
+                # j-major f32 planes; coefficients read as SMEM scalars
+                ut = U
+                ut_spec = pl.BlockSpec((1, jn, FEAT, 2 * FEAT),
+                                       lambda b, v: (b, 0, 0, 0),
+                                       memory_space=pltpu.VMEM)
+                ep_spec = pl.BlockSpec((1, 1, v_tile, jn),
+                                       lambda b, v: (b, v, 0, 0),
+                                       memory_space=pltpu.SMEM)
+                mix = "scalar"
+            kernel = functools.partial(_decoder_kernel_ppu, vt=v_tile,
+                                       storage_dtype=dtype, mix=mix)
+            out = pl.pallas_call(
+                kernel,
+                grid=(B, n_vt),
+                in_specs=[ut_spec, ep_spec,
+                          *[pl.BlockSpec(memory_space=pltpu.VMEM)] * 14],
+                out_specs=out_spec, out_shape=out_shape, interpret=interpret,
+                compiler_params=compiler_params,
+            )(ut, ep4, folded["b1"], *tail_args)
         out = out.reshape(B, Vp, 4, QW).transpose(0, 1, 3, 2).reshape(B, Vp, SEQ)
         return out[:, :V] if pad else out
 

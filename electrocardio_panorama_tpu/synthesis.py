@@ -92,7 +92,8 @@ class PanoramaGenerator:
             from electrocardio_panorama_tpu.ops.theta import angular_encode
 
             # basis decode: ship angular encodings; the gate/upsample/conv1
-            # head runs as the rank-J basis mix (decoder_fused.basis_y1)
+            # head runs as the streamed rank-J basis mix
+            # (decoder_fused._decoder_kernel_ppu)
             enc = angular_encode(v, self.model.theta_encoder_len)
             return fused_decode_views(self._folded, latent, enc=enc, v_tile=self.v_tile)
         return self._decode(self.params, self.bn_state, latent, v)

@@ -309,7 +309,8 @@ class Solver:
                 def rest_fn(latent_all, r_theta):
                     # basis decode: pass angular ENCODINGS, not gates — the
                     # gate x upsample x conv1 head runs as the rank-J basis
-                    # mix (decoder_fused.basis_y1)
+                    # mix, streamed per beat into the kernel
+                    # (decoder_fused._decoder_kernel_ppu)
                     enc = angular_encode(r_theta, cfg.MODEL.theta_L)
                     return fused_decode_views(
                         folded, latent_all.astype(storage), enc=enc,

@@ -47,3 +47,28 @@ ENCODE_FLOPS_PER_BEAT = 932_372_224.0
 def mfu_pct(flops: float, seconds: float, peak: float = V5E_BF16_PEAK_FLOPS) -> float:
     """Achieved fraction of chip peak, in percent."""
     return 100.0 * flops / seconds / peak
+
+
+def basis_decode_executed_flops_per_view(v_tile: int = 16, j: int = 13,
+                                         views_per_beat: int = 336) -> float:
+    """EXECUTED FLOPs per view of the streamed-U basis decode pipeline
+    (ops/pallas/decoder_fused.py, head='stream') — the denominator companion
+    to FULL_WORKLOAD_FLOPS_PER_VIEW once the rank-J basis collapse makes the
+    *algorithmic* MFU exceed 100% (the basis head does strictly less work
+    than the reference chain it is value-equal to).
+
+    Per-view in-kernel MACs (dot shapes from the kernel, docs/KERNELS.md):
+    the f-batched [vt, J] mix, conv2 N-fused, upconv2 M-stacked (PL+PR),
+    conv4 at K=128, conv5 selector dots (vt-times redundant by structure,
+    counted as executed). Per-beat XLA work amortized over the sweep's
+    views: the basis-plane build (T = lat @ u1eo; U = w1a @ T) and the
+    encode pass."""
+    mac = 128 * j * 256                   # in-kernel view mix (fdot)
+    mac += 3 * 128 * 128 * 256            # conv2 N-fused (3 dots, N=256)
+    mac += 6 * 128 * 128 * 128            # upconv2 M-stacked (2 planes x 3)
+    mac += 8 * 64 * 128 * 128             # conv4, 2 dots x 4 phases, K=128
+    mac += 3 * v_tile * 64 * 512          # conv5 selector dots
+    beat_mac = 3 * 256 * 128 * 256        # T[b,k] = lat @ u1eo[k]
+    beat_mac += 3 * j * 128 * 256 * 256   # U[b,j] = sum_k w1a[k,j] @ T[b,k]
+    return (2.0 * mac
+            + (2.0 * beat_mac + ENCODE_FLOPS_PER_BEAT) / views_per_beat)

@@ -96,3 +96,13 @@ def test_train_step_flops(setup):
     )
     got = _cost(jax.jit(train_step).lower(*args).compile())
     np.testing.assert_allclose(got, F.TRAIN_STEP_FLOPS_B32, rtol=1e-3)
+
+
+def test_basis_executed_flops_bounded():
+    """The executed-FLOPs denominator of the streamed-basis MFU must stay
+    strictly below the algorithmic count (the basis collapse REMOVES work —
+    that inequality is the whole point of publishing both framings) and
+    within sane bounds of it."""
+    ex = F.basis_decode_executed_flops_per_view()
+    assert ex < F.FULL_WORKLOAD_FLOPS_PER_VIEW
+    assert ex > 0.3 * F.FULL_WORKLOAD_FLOPS_PER_VIEW

@@ -171,3 +171,29 @@ def test_fused_decoder_nonuniform_bn_state(rng):
     folded = fold_decoder_bn(params, state)
     ours = fused_decode_views(folded, latent, query_gates(params, views), v_tile=8, interpret=True)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+
+def test_basis_heads_agree(rng):
+    """The three basis head forms — streamed MXU fdot mix (bf16 production),
+    streamed VPU scalar mix (f32 production), materialized y1 (audit) —
+    compute the same algebra. 'stream' matched 'y1' BITWISE on v5e
+    (tools/bench_kernel_basis_stream.py) and at float noise under the CPU
+    interpreter (different contraction lowering); 'stream_scalar' reorders
+    the j-sum so it agrees at accumulation noise. Views NOT a v_tile
+    multiple so the padded coefficient rows run through the streamed mix."""
+    from electrocardio_panorama_tpu.ops.theta import angular_encode
+
+    model = NefNetDef(3)
+    params, state = model.init(jax.random.PRNGKey(3))
+    latent = jnp.asarray(rng.standard_normal((2, 256, 128)).astype(np.float32) * 0.3)
+    views = jnp.asarray(rng.uniform(-np.pi, np.pi, (2, 11, 2)).astype(np.float32))
+    enc = angular_encode(views, 1)
+    for dtype, vt, tol in [(jnp.float32, 8, 5e-7), (jnp.bfloat16, 16, 5e-5)]:
+        folded = fold_decoder_bn(params, state, dtype=dtype)
+        outs = {
+            h: np.asarray(fused_decode_views(
+                folded, latent, enc=enc, v_tile=vt, interpret=True, head=h))
+            for h in ("y1", "stream", "stream_scalar")
+        }
+        np.testing.assert_allclose(outs["stream"], outs["y1"], atol=tol)
+        np.testing.assert_allclose(outs["stream_scalar"], outs["y1"], atol=tol)
