@@ -398,6 +398,67 @@ def main():
     except Exception as e:  # noqa: BLE001 — report the fallback instead
         train_step_ms_bf16_fused_enc = f"error: {str(e)[:80]}"
 
+    # ---- Solver-harness train step (VERDICT r4 item 4): time the ACTUAL
+    # production Solver._train_step — donating jit, per-step host rng split,
+    # per-step Python dispatch — exactly as run_one_epoch drives it. This is
+    # the number TPU.train_encoder='auto' governs; the lean chain above and
+    # this harness disagreed in r4 (2.28 vs 2.55) because the chain hides
+    # per-step dispatch and rng-split work inside one scan.
+    def solver_step_ms(train_encoder: str):
+        import shutil
+        import tempfile
+
+        from electrocardio_panorama_tpu.training.solver import Solver
+
+        cfg2 = get_cfg()
+        cfg2.MODEL.model = "model_nefnet"
+        cfg2.DATA.lead_num = 3
+        cfg2.TPU.compute_dtype = "bfloat16"
+        cfg2.TPU.train_encoder = train_encoder
+        cfg2.desc = "bench_solver"
+        tmp = tempfile.mkdtemp(prefix="bench_solver_")
+        cfg2.output_dir = tmp
+        try:
+            solver = Solver(cfg2, use_writer=False)
+            p, bn = solver.model.init(jax.random.PRNGKey(0))
+            opt = solver.tx.init(p)
+            step = solver._train_step
+            rng = jax.random.key(0, impl=cfg2.TPU.rng_impl)
+            dargs = (
+                jnp.asarray(batch["data"]), jnp.asarray(batch["input_theta"]),
+                jnp.asarray(batch["target_theta"]), jnp.asarray(batch["rois"]),
+                jnp.asarray(batch["target_view"]),
+                jnp.zeros((B, 512), jnp.float32),
+            )
+            i1 = i2 = np.int32(0)
+
+            def run(n, p, bn, opt, k0):
+                for k in range(k0, k0 + n):
+                    p, bn, opt, lvec = step(p, bn, opt, rng, np.int32(k),
+                                            i1, i2, *dargs)
+                jax.block_until_ready(lvec)
+                return p, bn, opt
+
+            p, bn, opt = run(3, p, bn, opt, 0)  # compile + warm
+            N = 200
+            ts = []
+            for r in range(3):
+                t0 = time.perf_counter()
+                p, bn, opt = run(N, p, bn, opt, 3 + r * N)
+                ts.append(time.perf_counter() - t0)
+            return 1e3 * max(float(np.median(ts)) - rtt, 1e-9) / N
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    try:
+        solver_step_fused = round(solver_step_ms("auto"), 3)
+    except Exception as e:  # noqa: BLE001 — report the fallback instead
+        solver_step_fused = f"error: {str(e)[:80]}"
+    try:
+        solver_step_xla = round(solver_step_ms("xla"), 3)
+    except Exception as e:  # noqa: BLE001 — report the fallback instead
+        solver_step_xla = f"error: {str(e)[:80]}"
+
     # p50 latency: single-beat 24-view panorama. The signal (~4 us/launch) is
     # far below tunnel-RTT variance (+-6 ms observed), so rtt subtraction
     # clamps to 0 — instead time TWO chain lengths and take the per-launch
@@ -496,6 +557,8 @@ def main():
         "train_step_ms_batch32_bf16": round(train_step_ms_bf16, 3),
         "train_step_ms_batch32_bf16_fused_decoder": train_step_ms_bf16_fused,
         "train_step_ms_batch32_bf16_fused_encoder": train_step_ms_bf16_fused_enc,
+        "solver_train_step_ms_batch32_bf16_auto": solver_step_fused,
+        "solver_train_step_ms_batch32_bf16_xla_encoder": solver_step_xla,
         "train_step_std_pct": round(train_std, 1),
         "p50_latency_ms_24view_panorama_amortized": round(p50_ms, 3),
         "host_loader_ms_per_batch32": host_loader_ms,

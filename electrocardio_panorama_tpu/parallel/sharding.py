@@ -261,8 +261,11 @@ def build_3d_train_step(model_def, cfg, tx, mesh: Mesh, *,
     momentum lives only on the owning lead shard — the optimizer update is
     elementwise and runs fully sharded.
 
-    f32 only (the mixed-precision policy lives in build_dp_train_step; this
-    path exists to validate the full 3-axis composition). With
+    Honors ``cfg.TPU.compute_dtype='bfloat16'`` with the same mixed-precision
+    policy as build_dp_train_step / Solver._build_train_step: f32 master
+    params/opt/BN running stats, bf16 encode/decode forward+backward (the
+    lead-axis latent psums and the (data, view) BN batch-stat psums ride ICI
+    in bf16), f32 loss, grad corrections, and f32 grad pmean. With
     ``deterministic=True`` dropout is off and the step is numerically
     parity-checkable against the unsharded train step on the same batch
     (tests/test_sharding.py).
@@ -276,9 +279,9 @@ def build_3d_train_step(model_def, cfg, tx, mesh: Mesh, *,
     from electrocardio_panorama_tpu.models.nefnet import (
         decoder_apply, encode_latents, query_gates)
 
-    if jnp.dtype(cfg.TPU.compute_dtype) != jnp.float32:
-        raise ValueError("build_3d_train_step is f32-only; use "
-                         "build_dp_train_step for the mixed-precision path")
+    compute_dtype = jnp.dtype(cfg.TPU.compute_dtype)
+    mixed = compute_dtype != jnp.float32
+    _cast = lambda t: cast_floats(t, compute_dtype)  # noqa: E731
     L = model_def.lead_num
     n_lead = mesh.shape[lead_axis]
     if L % n_lead != 0:
@@ -313,8 +316,12 @@ def build_3d_train_step(model_def, cfg, tx, mesh: Mesh, *,
 
         def loss_fn(p):
             B = data.shape[0]
+            if mixed:
+                p, d, ith, tth = _cast((p, data, input_theta, target_theta))
+            else:
+                d, ith, tth = data, input_theta, target_theta
             lat = encode_latents(
-                p, data, input_theta, rois, lead_num=L_local,
+                p, d, ith, rois, lead_num=L_local,
                 theta_encoder_len=tlen, rng=rng, train=True,
             )
             z1_mean = jax.lax.psum(lat.z1_mean * (L_local / L), lead_axis)
@@ -325,7 +332,7 @@ def build_3d_train_step(model_def, cfg, tx, mesh: Mesh, *,
             shuffle_patient_all = jnp.concatenate([shuffle_z1, z2_mean], axis=1)
             shuffle_lead_all = jnp.concatenate([z1_mean, shuffle_z2], axis=1)
 
-            gate_q = query_gates(p, target_theta, theta_encoder_len=tlen)
+            gate_q = query_gates(p, tth, theta_encoder_len=tlen)
             gx = gate_q[:, :, None]
             stacked = jnp.concatenate(
                 [gx * latent_all, gx * shuffle_patient_all, gx * shuffle_lead_all],
@@ -334,6 +341,9 @@ def build_3d_train_step(model_def, cfg, tx, mesh: Mesh, *,
             o, u = decoder_apply(
                 p, bn_state, stacked, train=True, bn_axis=batch_axes, bn_groups=3,
             )
+            if mixed:
+                o = o.astype(jnp.float32)
+                u = cast_floats_f32(u)
             outs = jax.nn.sigmoid(o / 3.0).reshape(3, B, 1, 512)
             out = outs[0] + (noise[:, None, :] if use_noise else 0.0)
             new_bn = dict(bn_state)

@@ -188,8 +188,19 @@ class Solver:
             enc_fn = None
 
         @partial(jax.jit, donate_argnums=(0, 1, 2))
-        def step(params, bn_state, opt_state, rng, i1, i2,
+        def step(params, bn_state, opt_state, epoch_rng, step_i, i1, i2,
                  data, input_theta, target_theta, rois, target_view, noise):
+            # per-step key derived IN-JIT from the per-epoch key: a host-side
+            # jax.random.split per step costs ~1 ms of dispatch stall on the
+            # axon tunnel (measured: trivial donated steps pipeline at 63 us
+            # per call, adding one host split drops the rate to ~1.1 ms) and
+            # also makes the stream depend on the split chain, which a resume
+            # cannot reproduce mid-run. fold_in(epoch_key, step) is free and
+            # resume-stable. epoch_rng=None keeps the deterministic
+            # no-dropout path (None is a static empty pytree to jit).
+            rng = (None if epoch_rng is None
+                   else jax.random.fold_in(epoch_rng, step_i))
+
             def loss_fn(p):
                 if mixed:
                     p = _cast(p)
@@ -367,21 +378,23 @@ class Solver:
             np.random.SeedSequence([cfg.seed, epoch, 0x5EED if phase == "train" else 0xE7A1])
         )
         max_steps = cfg.TPU.steps_per_epoch or None
+        # ONE per-epoch device op; the per-step key folds in-jit (see
+        # _build_train_step — a host-side split per step stalls the tunnel)
+        epoch_rng = jax.random.fold_in(rng, epoch) if rng is not None else None
         for step_i, batch in enumerate(dl):
             if max_steps and step_i >= max_steps:
                 break
             if phase == "train":
                 i1 = int(host_rng.integers(0, cfg.DATA.lead_num))
                 i2 = int(host_rng.integers(0, cfg.DATA.lead_num))
-                rng, step_rng = jax.random.split(rng)
                 arrays = self._shard_batch((
                     jnp.asarray(batch["data"]), jnp.asarray(batch["input_theta"]),
                     jnp.asarray(batch["target_theta"]), jnp.asarray(batch["rois"]),
                     jnp.asarray(batch["target_view"]), jnp.asarray(batch["noise"]),
                 ))
                 params, bn_state, opt_state, lvec = self._train_step(
-                    params, bn_state, opt_state, step_rng,
-                    jnp.asarray(i1), jnp.asarray(i2), *arrays,
+                    params, bn_state, opt_state, epoch_rng,
+                    np.int32(step_i), np.int32(i1), np.int32(i2), *arrays,
                 )
                 # keep lvec on device: pulling it here would block the host on
                 # a device->host sync EVERY step (one tunnel RTT on axon), and

@@ -84,6 +84,7 @@ _SLOW = {
     "test_eval_parity",                       # test_nefnet2.py
     "test_prior_samples_roundtrip_close_to_dataset_anchor",  # test_synthesis.py
     "test_annotation_corpus_edge_beats_through_pipeline",    # test_real_data.py
+    "test_real_records_train_eval_render_end_to_end",        # test_real_data.py
     "test_export_latents_and_prior_and_generate",            # test_synth_cli.py
     "test_full_workload_and_decode_flops",    # test_flops.py
     "test_train_step_flops",                  # test_flops.py

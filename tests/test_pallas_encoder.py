@@ -179,3 +179,23 @@ def test_train_forward_and_grads_match_mask_oracle(setup):
         assert (d > 2e-4).mean() <= 5e-3, f"{k}: {(d > 2e-4).mean():.2e} over tol"
         l2 = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12)
         assert l2 <= 5e-4, f"{k}: grad L2 rel err {l2:.2e}"
+
+
+def test_partial_batch_falls_back_to_xla_on_hardware_path(setup):
+    """VERDICT r4 item 8: a batch not divisible by the tile (e.g. a final
+    partial eval batch, B=12 with nb=8) must complete under the HARDWARE
+    branch (interpret=False) by falling back to the XLA encode — the
+    fallback fires before any Pallas call, so it is platform-independent
+    and exact vs encode_latents."""
+    params, x, thetas, rois = setup
+    Bp = 12  # 12 % 8 != 0
+    xs, ts, rs = x[:Bp], thetas[:Bp], rois[:Bp]
+    fn = EF.make_fused_encode_fn(L, interpret=False)  # hardware branch
+    lat = fn(params, xs, ts, rs, train=False)
+    ref = encode_latents(params, xs, ts, rs, lead_num=L, train=False)
+    np.testing.assert_array_equal(np.asarray(lat.z1), np.asarray(ref.z1))
+    np.testing.assert_array_equal(np.asarray(lat.latent_all),
+                                  np.asarray(ref.latent_all))
+    # train-mode partial batch with dropout rng also completes
+    lat_t = fn(params, xs, ts, rs, rng=jax.random.PRNGKey(5), train=True)
+    assert lat_t.latent_all.shape == ref.latent_all.shape

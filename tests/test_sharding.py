@@ -120,7 +120,8 @@ def test_dp_train_step_exact_parity_with_single_device(cfg, tmp_path):
     scfg.output_dir = str(tmp_path)
     solver = Solver(scfg, use_writer=False)  # TPU.mesh_shape=[] => mesh None
     p1, bn1, opt1, lvec1 = solver._train_step(
-        copy(params), copy(bn_state), copy(opt_state), None, i1, i2, *arrays_host
+        copy(params), copy(bn_state), copy(opt_state), None, np.int32(0),
+        i1, i2, *arrays_host
     )
 
     # --- dp step over 8 shards of 2
@@ -382,7 +383,8 @@ def test_3d_mesh_train_step_parity_with_single_device(tmp_path):
     scfg.output_dir = str(tmp_path)
     solver = Solver(scfg, use_writer=False)
     p1, bn1, opt1, lvec1 = solver._train_step(
-        copy(params), copy(bn_state), copy(opt_state), None, i1, i2, *arrays
+        copy(params), copy(bn_state), copy(opt_state), None, np.int32(0),
+        i1, i2, *arrays
     )
 
     step = build_3d_train_step(model, cfg, tx, mesh, deterministic=True)
@@ -425,3 +427,61 @@ def test_3d_mesh_train_step_parity_with_single_device(tmp_path):
     )
     sh = p2["W_encoder.conv1.weight"].sharding
     assert sh.spec == P2("lead")
+
+
+def test_3d_mesh_train_step_mixed_precision():
+    """VERDICT r4 item 9: the 3-axis data x lead x view step composes with
+    the production bf16 policy — f32 master params/opt/BN, bf16 forward/
+    backward with the lead-latent psums and joint-batch BN psums in bf16,
+    f32 grad corrections and pmean. Checks finiteness, f32 masters, live
+    lead sharding, and that the bf16 losses track the f32 3-axis step (the
+    same batch) to bf16 resolution — a mis-scaled collective under the cast
+    (factor n_lead) would miss by ~100x."""
+    from jax.sharding import PartitionSpec as P2
+
+    from electrocardio_panorama_tpu.parallel import build_3d_train_step
+
+    cfg = get_cfg()
+    cfg.MODEL.model = "model_nefnet"
+    cfg.DATA.lead_num = 2
+    cfg.SOLVER.loss_factor = [0.5, 0.5, 1]
+    cfg.SOLVER.lr = 0.01
+    mesh = make_mesh((2, 2, 2), ("data", "lead", "view"))
+    model = build_model(cfg)
+    tx = get_optimizer(cfg)
+    batch = make_batch(np.random.default_rng(11), B=8, L=2)
+    params, bn_state = model.init(jax.random.PRNGKey(6))
+    opt_state = tx.init(params)
+    arrays = (
+        jnp.asarray(batch["data"]), jnp.asarray(batch["input_theta"]),
+        jnp.asarray(batch["target_theta"]), jnp.asarray(batch["rois"]),
+        jnp.asarray(batch["target_view"]), jnp.asarray(batch["noise"]),
+    )
+    i1, i2 = jnp.asarray(1), jnp.asarray(0)
+
+    def copy(t):
+        return jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), t)
+
+    step32 = build_3d_train_step(model, cfg, tx, mesh, deterministic=True)
+    _, _, _, lvec32 = step32(
+        copy(params), copy(bn_state), copy(opt_state), jax.random.PRNGKey(0),
+        i1, i2, *arrays,
+    )
+
+    bcfg = cfg.clone()
+    bcfg.TPU.compute_dtype = "bfloat16"
+    step16 = build_3d_train_step(model, bcfg, tx, mesh, deterministic=True)
+    p2, bn2, opt2, lvec16 = step16(
+        copy(params), copy(bn_state), copy(opt_state), jax.random.PRNGKey(0),
+        i1, i2, *arrays,
+    )
+
+    assert np.isfinite(np.asarray(lvec16)).all()
+    np.testing.assert_allclose(
+        np.asarray(lvec16), np.asarray(lvec32), rtol=0.05, atol=5e-3)
+    for t in (p2, bn2):
+        assert all(
+            v.dtype == np.float32
+            for v in jax.tree.leaves(t) if np.issubdtype(v.dtype, np.floating)
+        )
+    assert p2["W_encoder.conv1.weight"].sharding.spec == P2("lead")

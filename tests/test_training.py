@@ -95,7 +95,7 @@ def test_nan_guard_raises_with_step_context(cfg):
     params, bn_state = solver.model.init(jax.random.PRNGKey(0))
     calls = {"n": 0}
 
-    def poisoned_step(params, bn_state, opt_state, step_rng, i1, i2, *arrays):
+    def poisoned_step(params, bn_state, opt_state, epoch_rng, step_i, i1, i2, *arrays):
         lvec = np.full((4,), np.nan, np.float32) if calls["n"] == 2 else np.zeros((4,), np.float32)
         calls["n"] += 1
         return params, bn_state, opt_state, lvec
@@ -513,7 +513,7 @@ def test_mixed_precision_train_step(cfg, tmp_path):
         params, bn_state = s.model.init(jax.random.PRNGKey(0))
         opt_state = s.tx.init(params)
         return s._train_step(
-            params, bn_state, opt_state, jax.random.PRNGKey(1),
+            params, bn_state, opt_state, jax.random.PRNGKey(1), np.int32(0),
             jnp.asarray(0), jnp.asarray(1), *args,
         )
 
@@ -594,7 +594,7 @@ def test_train_step_fused_encoder(cfg, tmp_path):
         params, bn_state = s.model.init(jax.random.PRNGKey(0))
         opt_state = s.tx.init(params)
         return s._train_step(
-            params, bn_state, opt_state, jax.random.PRNGKey(1),
+            params, bn_state, opt_state, jax.random.PRNGKey(1), np.int32(0),
             jnp.asarray(0), jnp.asarray(1), *args,
         )
 

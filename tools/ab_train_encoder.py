@@ -84,12 +84,12 @@ def main(K=256, reps=7):
         def chain(p, bn, opt, key, _step=step):
             def body(c, k):
                 p, bn, opt = c
-                p, bn, opt, losses = _step(p, bn, opt, k, jnp.asarray(0),
+                p, bn, opt, losses = _step(p, bn, opt, key, k, jnp.asarray(0),
                                            jnp.asarray(1), *args)
                 return (p, bn, opt), losses[0]
 
-            keys = jax.random.split(key, K)
-            (_, _, _), ls = jax.lax.scan(body, (p, bn, opt), keys)
+            (_, _, _), ls = jax.lax.scan(
+                body, (p, bn, opt), jnp.arange(K, dtype=jnp.int32))
             return ls.sum()
 
         progs[f"solver/{mode}"] = (

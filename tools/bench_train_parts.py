@@ -20,6 +20,9 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
+_RTT = 0.0
+
+
 def _time(fn, args, reps=5):
     float(fn(*args))
     ts = []
@@ -27,7 +30,7 @@ def _time(fn, args, reps=5):
         t0 = time.perf_counter()
         float(fn(*args))
         ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+    return max(float(np.median(ts)) - _RTT, 1e-9)
 
 
 def main(mode="bf16"):
@@ -53,6 +56,21 @@ def main(mode="bf16"):
     params, bn_state = model.init(jax.random.PRNGKey(0))
     tx = get_optimizer(cfg)
     opt_state = tx.init(params)
+
+    # tunnel RTT: subtract the fixed host<->device round trip so per-step
+    # deltas are not inflated by rtt/K (~0.36 ms at K=64 on this tunnel)
+    global _RTT
+
+    @jax.jit
+    def _triv(x):
+        return x + 1.0
+
+    float(_triv(jnp.float32(0.0)))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        float(_triv(jnp.float32(0.0)))
+    _RTT = (time.perf_counter() - t0) / 20
+    print(f"  (tunnel rtt {_RTT*1e3:.1f} ms, subtracted)")
 
     B, K = 32, 64
     rng = np.random.default_rng(0)
@@ -126,8 +144,55 @@ def main(mode="bf16"):
         return (o1.astype(jnp.float32).sum() + o2.astype(jnp.float32).sum()
                 + o3.astype(jnp.float32).sum())
 
+    # ---- 3b. encode + ONE train-BN decode (isolates the per-decode cost)
+    def fwd1_loss(p, d):
+        if mixed:
+            p, d, itc, ttc = castc((p, d, it, tt))
+        else:
+            itc, ttc = it, tt
+        lat = encode_latents(p, d, itc, rois, lead_num=3, rng=rng0, train=True)
+        gate_q = query_gates(p, ttc)
+        o1, _ = _decode(p, dict(bn_state), lat.latent_all, gate_q, train=True)
+        return o1.astype(jnp.float32).sum()
+
+    run("encode + 1 train decode fwd+bwd", lambda p, d: jax.grad(fwd1_loss)(p, d)[
+        "W_encoder.conv1.weight"].astype(jnp.float32).sum())
+
     run("encode + 3 train decodes fwd+bwd", lambda p, d: jax.grad(fwd3_loss)(p, d)[
         "W_encoder.conv1.weight"].astype(jnp.float32).sum())
+
+    # ---- 3c. forward + LOSS + grads, no optimizer/BN-EMA/scan-carried params
+    def loss_only(p, d):
+        if mixed:
+            pp, dd, itc, ttc = castc((p, d, it, tt))
+        else:
+            pp, dd, itc, ttc = p, d, it, tt
+        (out, sp, sl), new_bn = model.apply(
+            pp, bn_state, dd, itc, ttc, rois, phase="train", rng=rng0,
+            shuffle_idx=(0, 1))
+        if mixed:
+            out, sp, sl = cast_floats_f32((out, sp, sl))
+        loss, *_ = loss_wrapper(out, sp, sl, tv[:, None, :], cfg)
+        return loss
+
+    run("fwd + loss + grads (no opt)", lambda p, d: jax.grad(loss_only)(p, d)[
+        "W_encoder.conv1.weight"].astype(jnp.float32).sum())
+
+    # ---- 3d. optimizer update alone (grads = params as a stand-in pytree)
+    @jax.jit
+    def opt_chain(p, opt, ks):
+        def one(carry, k):
+            p, opt = carry
+            grads = jax.tree.map(lambda x: x * (1e-9 * (1 + k)), p)
+            updates, opt = tx.update(grads, opt, p)
+            return (optax.apply_updates(p, updates), opt), updates[
+                "W_encoder.conv1.weight"].astype(jnp.float32).sum()
+
+        (_, _), ls = jax.lax.scan(one, (p, opt), ks)
+        return ls.sum()
+
+    med = _time(opt_chain, (params, opt_state, jnp.arange(K))) / K
+    print(f"  {'SGD update alone (incl. fake grads)':34s}: {med*1e3:7.3f} ms/step")
 
     # ---- 4. full train step (forward + loss + grads + SGD update)
     @jax.jit
@@ -158,6 +223,40 @@ def main(mode="bf16"):
 
     med = _time(full_chain, (params, bn_state, opt_state, datas)) / K
     print(f"  {'FULL train step':34s}: {med*1e3:7.3f} ms/step")
+
+    # ---- 5. full step with the fused Pallas encoder (TPU.train_encoder)
+    if mixed and jax.devices()[0].platform != "cpu":
+        from electrocardio_panorama_tpu.ops.pallas.encoder_fused import (
+            make_fused_encode_fn)
+
+        ekw = {"encode_fn": make_fused_encode_fn(cfg.DATA.lead_num,
+                                                 cfg.MODEL.theta_L)}
+
+        @jax.jit
+        def full_chain_fe(p, bn, opt, ds):
+            def one(carry, d):
+                p, bn, opt = carry
+
+                def loss_fn(pp):
+                    pp, dd, itc, ttc = castc((pp, d, it, tt))
+                    (out, sp, sl), new_bn = model.apply(
+                        pp, bn, dd, itc, ttc, rois, phase="train", rng=rng0,
+                        shuffle_idx=(0, 1), **ekw)
+                    out, sp, sl = cast_floats_f32((out, sp, sl))
+                    new_bn = cast_floats_f32(new_bn)
+                    loss, *_ = loss_wrapper(out, sp, sl, tv[:, None, :], cfg)
+                    return loss, new_bn
+
+                (loss, new_bn), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(p)
+                updates, new_opt = tx.update(grads, opt, p)
+                return (optax.apply_updates(p, updates), new_bn, new_opt), loss
+
+            (_, _, _), losses = jax.lax.scan(one, (p, bn, opt), ds)
+            return losses.sum()
+
+        med = _time(full_chain_fe, (params, bn_state, opt_state, datas)) / K
+        print(f"  {'FULL train step (fused encoder)':34s}: {med*1e3:7.3f} ms/step")
 
 
 if __name__ == "__main__":

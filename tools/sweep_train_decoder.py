@@ -86,12 +86,13 @@ def main(K=64, encoder="xla"):
             def chain(p, bn, opt, key):
                 def body(c, k):
                     p, bn, opt = c
-                    p, bn, opt, losses = step(p, bn, opt, k, jnp.asarray(0),
+                    p, bn, opt, losses = step(p, bn, opt, key, k,
+                                              jnp.asarray(0),
                                               jnp.asarray(1), *args)
                     return (p, bn, opt), losses[0]
 
-                keys = jax.random.split(key, k_eff)
-                (_, _, _), ls = jax.lax.scan(body, (p, bn, opt), keys)
+                (_, _, _), ls = jax.lax.scan(
+                    body, (p, bn, opt), jnp.arange(k_eff, dtype=jnp.int32))
                 return ls.sum()
 
             try:
