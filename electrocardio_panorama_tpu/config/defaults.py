@@ -88,7 +88,10 @@ def get_default_cfg() -> Node:
     cfg.TPU.eval_decoder = "auto"
     # train-step decoder: "xla" (grouped three-decode) | "fused" (Pallas
     # forward + custom-VJP backward, ops/pallas/decoder_train.py; gradient
-    # parity pinned by tests/test_pallas_train_decoder.py)
+    # parity pinned by tests/test_pallas_train_decoder.py). 'xla' is the
+    # verdict of the round-5 batch sweep (tools/sweep_train_decoder.py,
+    # docs/KERNELS.md): the kernel loses 1.11x at batch 32 and exceeds VMEM
+    # at batch >= 128 — no winning regime, kept as a documented pattern
     cfg.TPU.train_decoder = "xla"
     # train-step encoder: "auto" | "xla" | "fused" (whole encode chain —
     # tower, gate, w/z convs, roi_align, z2_conv2 — as one Pallas forward +
