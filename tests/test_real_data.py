@@ -384,7 +384,7 @@ def test_real_records_train_eval_render_end_to_end(tmp_path):
     seed_everything(cfg.seed)
     train_ds = build_dataset(cfg, phase="train")
     test_ds = build_dataset(cfg, phase="test")
-    assert len(train_ds) == 32  # 2 records x 16
+    assert len(train_ds) == 512  # 2 records x REPEAT=256
     train_dl = BeatLoader(train_ds, 4, shuffle=True, drop_last=True, seed=0,
                           num_threads=2)
     test_dl = BeatLoader(test_ds, 4, shuffle=False, drop_last=True, seed=1,

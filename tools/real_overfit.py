@@ -36,7 +36,11 @@ REF = "/root/reference"
 NPY_DIR = f"{REF}/codes/data/tianchi/npy_data/tianchi_train_round1"
 INTERVAL_DIR = f"{REF}/codes/data/tianchi/tianchi_interval"
 RECORDS = ("40723.json", "11315.json")
-REPEAT = 16  # 2 records x16 = one full batch-32 step per epoch
+# 2 records x 256 = 512 examples -> 16 batch-32 steps per epoch, matching
+# the synthetic convergence recipe's update count (150 x 16 = 2400 steps;
+# the first cut used x16 = 1 step/epoch and its 150 total updates left the
+# model at a near-constant output, best PSNR at epoch 4)
+REPEAT = 256
 
 
 def build_cfg(workdir: str, epochs: int):
@@ -88,7 +92,8 @@ def main(epochs: int = 150):
         max_batches=1,
     )
 
-    scalars = os.path.join(workdir, "real_overfit", "tf_logs", "scalars.jsonl")
+    # ScalarWriter logs under cfg.output_dir/tf_logs (training/solver.py)
+    scalars = os.path.join(workdir, "tf_logs", "scalars.jsonl")
     first_row = last_row = None
     if os.path.exists(scalars):
         rows = [json.loads(ln) for ln in open(scalars) if ln.strip()]
