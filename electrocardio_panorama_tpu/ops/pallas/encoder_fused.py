@@ -280,9 +280,17 @@ def _relu(a):
     return jnp.maximum(a, 0.0)
 
 
-def _stages(xph, gexp, ramp, mmid, bm16, u0, u1, masks, w, *, L, nb, train):
+def _stages(xph, gexp, ramp, mmid, bm16, u0, u1, masks, w, *, L, nb, train,
+            ckpt=None):
     """Shared forward chain; returns every intermediate the backward needs.
-    masks = (m6, mc20, mc22) pre-scaled dropout masks, or None in eval."""
+    masks = (m6, mc20, mc22) pre-scaled dropout masks, or None in eval.
+
+    ckpt: optional tuple of 7 tower planes (hs[0..3], r1s[0..2]) written by
+    the forward kernel — the backward reads them instead of recomputing the
+    tower (conv1 taps are still re-derived: the maxpool routing masks and
+    the conv1 weight grad need ae/ao, two tiny K=16 matmuls per lead). The
+    checkpointed values are bitwise the recompute's values (same kernel code
+    produced them), so gradients are unchanged."""
     sd = gexp.dtype
     n = nb * FEAT
     G7 = SEGS * L
@@ -292,27 +300,38 @@ def _stages(xph, gexp, ramp, mmid, bm16, u0, u1, masks, w, *, L, nb, train):
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) % FEAT
     neg = jnp.asarray(NEG, sd)
 
-    # tower: conv1 polyphase + relu + maxpool(odd[t-1], even[t], odd[t])
-    ae_l, ao_l, pooled_l = [], [], []
+    # tower head: conv1 polyphase + relu (ae/ao feed the maxpool and its
+    # backward routing, so they are computed on both paths)
+    ae_l, ao_l = [], []
     for l in range(L):
         pe = _patches(xph[l], 0, nb)
         po = _patches(xph[l], 2, nb)
-        ae = _relu(_dot_f32(w["c1w"][l], pe)).astype(sd)
-        ao = _relu(_dot_f32(w["c1w"][l], po)).astype(sd)
-        o_prev = jnp.where(pos == 0, neg, _shiftn(ao, -1, FEAT))
-        pooled_l.append(jnp.maximum(jnp.maximum(o_prev, ae), ao)[None])
-        ae_l.append(ae)
-        ao_l.append(ao)
-    h = jnp.concatenate(pooled_l, axis=0)  # [L,128,n]
+        ae_l.append(_relu(_dot_f32(w["c1w"][l], pe)).astype(sd))
+        ao_l.append(_relu(_dot_f32(w["c1w"][l], po)).astype(sd))
 
-    hs, r1s, r1ms = [h], [], []
-    for b in range(3):
-        r1 = _relu(_gconv(h, w[f"l{b}c1"], FEAT)).astype(sd)
-        r1m = r1 * m6[b] if train else r1
-        h = _relu(_gconv(r1m, w[f"l{b}c2"], FEAT) + h.astype(jnp.float32)).astype(sd)
-        hs.append(h)
-        r1s.append(r1)
-        r1ms.append(r1m)
+    if ckpt is None:
+        # maxpool(odd[t-1], even[t], odd[t]) + 3x BasicBlock(k7)
+        pooled_l = []
+        for l in range(L):
+            o_prev = jnp.where(pos == 0, neg, _shiftn(ao_l[l], -1, FEAT))
+            pooled_l.append(
+                jnp.maximum(jnp.maximum(o_prev, ae_l[l]), ao_l[l])[None])
+        h = jnp.concatenate(pooled_l, axis=0)  # [L,128,n]
+
+        hs, r1s, r1ms = [h], [], []
+        for b in range(3):
+            r1 = _relu(_gconv(h, w[f"l{b}c1"], FEAT)).astype(sd)
+            r1m = r1 * m6[b] if train else r1
+            h = _relu(_gconv(r1m, w[f"l{b}c2"], FEAT)
+                      + h.astype(jnp.float32)).astype(sd)
+            hs.append(h)
+            r1s.append(r1)
+            r1ms.append(r1m)
+    else:
+        hs = list(ckpt[:4])
+        r1s = list(ckpt[4:])
+        r1ms = [r1s[b] * m6[b] for b in range(3)] if train else list(r1s)
+        h = hs[3]
 
     # gate + w_conv (identity residual)
     hg = (h * gexp).astype(sd)
@@ -380,17 +399,23 @@ def _unpack_w(wrefs):
     return {nm: r[...] for nm, r in zip(_WNAMES, wrefs)}
 
 
-def _fwd_kernel(*refs, L, nb, train):
+def _fwd_kernel(*refs, L, nb, train, ckpt=False):
     nin = 7 + (3 if train else 0)
     xph, gexp, ramp, mmid, bm16, u0, u1 = (r[...] for r in refs[:7])
     masks = tuple(r[...] for r in refs[7:nin]) if train else None
     wrefs = refs[nin:nin + len(_WNAMES)]
-    z1_ref, z2g_ref = refs[nin + len(_WNAMES):]
+    outs = refs[nin + len(_WNAMES):]
+    z1_ref, z2g_ref = outs[:2]
     st = _stages(xph, gexp, ramp, mmid, bm16, u0, u1, masks,
                  _unpack_w(wrefs), L=L, nb=nb, train=train)
     z1_ref[...] = st["z1f"]
     G7 = SEGS * L
     z2g_ref[...] = st["z2g"].reshape(G7 * FEAT, nb * 2 * ALIGN)
+    if ckpt:
+        for i, r in enumerate(outs[2:6]):
+            r[...] = st["hs"][i]
+        for b, r in enumerate(outs[6:9]):
+            r[...] = st["r1s"][b]
 
 
 def _acc(ref, val):
@@ -433,16 +458,19 @@ def _eqf(a, b):
     return a.astype(jnp.float32) == b.astype(jnp.float32)
 
 
-def _bwd_kernel(*refs, L, nb):
-    """Recompute the forward, then walk the chain backwards emitting dgate
-    plus every weight/bias grad (grid-accumulated)."""
+def _bwd_kernel(*refs, L, nb, ckpt=False):
+    """Recompute the forward (or read the tower checkpoints), then walk the
+    chain backwards emitting dgate plus every weight/bias grad
+    (grid-accumulated)."""
     (xph, gexp, ramp, mmid, bm16, u0, u1, mmidT, bm16T, u0T, u1T) = (
         r[...] for r in refs[:11]
     )
     m6, mc20, mc22 = (r[...] for r in refs[11:14])
     wrefs = refs[14:14 + len(_WNAMES)]
     dz1_ref, dz2g_ref = refs[14 + len(_WNAMES):16 + len(_WNAMES)]
-    douts = refs[16 + len(_WNAMES):]
+    nck = 7 if ckpt else 0
+    ck = tuple(r[...] for r in refs[16 + len(_WNAMES):16 + len(_WNAMES) + nck])
+    douts = refs[16 + len(_WNAMES) + nck:]
     dgexp_ref = douts[0]
     grefs = dict(zip(_GNAMES, douts[1:]))
 
@@ -457,7 +485,7 @@ def _bwd_kernel(*refs, L, nb):
     G7 = SEGS * L
     X16, X32 = nb * ALIGN, nb * 2 * ALIGN
     st = _stages(xph, gexp, ramp, mmid, bm16, u0, u1, (m6, mc20, mc22),
-                 w, L=L, nb=nb, train=True)
+                 w, L=L, nb=nb, train=True, ckpt=ck if ckpt else None)
 
     dz1 = dz1_ref[...].astype(f32)
     dz2g = dz2g_ref[...].reshape(G7, FEAT, X32).astype(f32)
@@ -560,7 +588,7 @@ def _bwd_kernel(*refs, L, nb):
 
 # ------------------------------------------------------------------ call layer
 def encoder_vmem_bytes_estimate(nb: int, L: int, itemsize: int = 2,
-                                bwd: bool = True) -> int:
+                                bwd: bool = True, ckpt: bool = False) -> int:
     """Conservative per-program VMEM footprint at batch tile `nb`.
 
     Backward (the wider of the pair): ~26 live [L,128,nb*128]-class planes
@@ -590,17 +618,21 @@ def encoder_vmem_bytes_estimate(nb: int, L: int, itemsize: int = 2,
     )
     consts = (nb * FEAT * nb + nb * nb * ALIGN + 4 * nb * ALIGN * nb * 2 * ALIGN) * 4
     if bwd:
+        # ckpt replaces recompute transients with streamed-in planes — the
+        # live set is the same either way (read vs computed residency)
         acts = (26 * plane + 14 * zplane) * itemsize + 6 * plane * 4
         return acts + welems * (itemsize + 4) + 2 * consts
-    acts = (14 * plane + 10 * zplane) * itemsize
+    # ckpt adds 7 tower-plane output blocks to the forward
+    acts = ((14 + (7 if ckpt else 0)) * plane + 10 * zplane) * itemsize
     return acts + welems * itemsize + consts
 
 
-def _validate_nb(nb: int, L: int, itemsize: int, bwd: bool) -> None:
+def _validate_nb(nb: int, L: int, itemsize: int, bwd: bool,
+                 ckpt: bool = False) -> None:
     if nb % 8 != 0:
         raise ValueError(f"fused encoder: batch tile nb={nb} must be a multiple of 8 "
                          "(lane-dim blocks)")
-    est = encoder_vmem_bytes_estimate(nb, L, itemsize, bwd=bwd)
+    est = encoder_vmem_bytes_estimate(nb, L, itemsize, bwd=bwd, ckpt=ckpt)
     if est > VMEM_LIMIT_BYTES:
         raise ValueError(
             f"fused encoder: batch tile {nb} needs ~{est / 2**20:.0f} MiB of "
@@ -624,11 +656,12 @@ def _block(shape, idx_axis, ndim):
     return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
 
 
-def _fwd_call(w, xph, gexp, ramp, masks, *, L, nb, train, interpret):
+def _fwd_call(w, xph, gexp, ramp, masks, *, L, nb, train, interpret,
+              ckpt=False):
     sd = gexp.dtype
     B = xph.shape[-1] // FEAT
     if not interpret:
-        _validate_nb(nb, L, jnp.dtype(sd).itemsize, bwd=False)
+        _validate_nb(nb, L, jnp.dtype(sd).itemsize, bwd=False, ckpt=ckpt)
     if B % nb != 0:
         raise ValueError(f"fused encoder: batch {B} not divisible by tile {nb}")
     G = B // nb
@@ -653,24 +686,34 @@ def _fwd_call(w, xph, gexp, ramp, masks, *, L, nb, train, interpret):
         args += [m6, mc20, mc22]
     in_specs += [whole] * len(_WNAMES)
     args += [w[nm] for nm in _WNAMES]
-    z1, z2g = pl.pallas_call(
-        functools.partial(_fwd_kernel, L=L, nb=nb, train=train),
+    out_specs = [
+        _block((L, FEAT, n), 2, 3),
+        _block((G7 * FEAT, nb * 2 * ALIGN), 1, 2),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((L, FEAT, B * FEAT), sd),
+        jax.ShapeDtypeStruct((G7 * FEAT, B * 2 * ALIGN), sd),
+    ]
+    if ckpt:
+        # 7 tower block-boundary planes (hs[0..3], r1s[0..2]) for the
+        # checkpoint backward: ~19 MB/step at B=32 bf16 L=3 — ~0.05 ms of
+        # HBM round-trip vs the ~0.25 ms tower recompute it removes
+        out_specs += [_block((L, FEAT, n), 2, 3)] * 7
+        out_shape += [jax.ShapeDtypeStruct((L, FEAT, B * FEAT), sd)] * 7
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel, L=L, nb=nb, train=train, ckpt=ckpt),
         grid=(G,),
         in_specs=in_specs,
-        out_specs=[
-            _block((L, FEAT, n), 2, 3),
-            _block((G7 * FEAT, nb * 2 * ALIGN), 1, 2),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((L, FEAT, B * FEAT), sd),
-            jax.ShapeDtypeStruct((G7 * FEAT, B * 2 * ALIGN), sd),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES,
         ),
     )(*args)
-    return z1, z2g
+    if ckpt:
+        return outs[0], outs[1], tuple(outs[2:])
+    return outs
 
 
 # Lead axis of each packed weight/grad tensor (None = lead-independent is not
@@ -735,7 +778,8 @@ def _lb(blk, lead_axis, batch_axis):
     return pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM)
 
 
-def _bwd_call(w, xph, gexp, ramp, masks, dz1, dz2g, *, L, nb, interpret):
+def _bwd_call(w, xph, gexp, ramp, masks, dz1, dz2g, *, L, nb, interpret,
+              ckpt=None):
     """Backward pallas call on a (lead, batch) grid.
 
     The recompute-backward holds ~26 activation planes live from the forward
@@ -773,6 +817,9 @@ def _bwd_call(w, xph, gexp, ramp, masks, dz1, dz2g, *, L, nb, interpret):
             mmid.T, bm16.T, u0.T, u1.T, m6, mc20, mc22]
     args += [_r3l(nm, w[nm]) for nm in _WNAMES]
     args += [dz1.astype(sd), dz2g.astype(sd)]
+    if ckpt is not None:
+        in_specs += [_lb((1, FEAT, n), 0, 2)] * 7     # tower checkpoints
+        args += list(ckpt)
 
     out_specs = [_lb((1, FEAT, n), 0, 2)]  # dgexp
     out_shape = [jax.ShapeDtypeStruct((L, FEAT, B * FEAT), jnp.float32)]
@@ -781,7 +828,7 @@ def _bwd_call(w, xph, gexp, ramp, masks, dz1, dz2g, *, L, nb, interpret):
         out_specs.append(_lead_spec(shp, nm))
         out_shape.append(jax.ShapeDtypeStruct(shp, jnp.float32))
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, L=1, nb=nb),
+        functools.partial(_bwd_kernel, L=1, nb=nb, ckpt=ckpt is not None),
         grid=(L, G),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -800,26 +847,38 @@ def _bwd_call(w, xph, gexp, ramp, masks, dz1, dz2g, *, L, nb, interpret):
 # ------------------------------------------------------------------ custom VJP
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def encode_fused_train(static, w: dict, xph, gexp, ramp, m6, mc20, mc22):
-    """Fused training encode. static = (L, nb, interpret). Returns
-    (z1 [L,128,B*128], z2_grid_flat [7L*128, B*32]) in kernel layout."""
-    L, nb, interpret = static
+    """Fused training encode. static = (L, nb, interpret[, ckpt]). Returns
+    (z1 [L,128,B*128], z2_grid_flat [7L*128, B*32]) in kernel layout.
+
+    With ckpt=True (the default via make_fused_encode_fn) the forward-for-
+    backward additionally writes the 7 tower block-boundary planes to HBM
+    and the backward reads them instead of recomputing the tower — identical
+    gradients (the stored values are bitwise the recompute's), less backward
+    compute."""
+    L, nb, interpret = static[:3]
     return _fwd_call(w, xph, gexp, ramp, (m6, mc20, mc22),
                      L=L, nb=nb, train=True, interpret=interpret)
 
 
 def _vjp_fwd(static, w, xph, gexp, ramp, m6, mc20, mc22):
-    L, nb, interpret = static
+    L, nb, interpret = static[:3]
+    ckpt = static[3] if len(static) > 3 else False
+    if ckpt:
+        z1, z2g, ck = _fwd_call(w, xph, gexp, ramp, (m6, mc20, mc22),
+                                L=L, nb=nb, train=True, interpret=interpret,
+                                ckpt=True)
+        return (z1, z2g), (w, xph, gexp, ramp, m6, mc20, mc22, ck)
     out = _fwd_call(w, xph, gexp, ramp, (m6, mc20, mc22),
                     L=L, nb=nb, train=True, interpret=interpret)
-    return out, (w, xph, gexp, ramp, m6, mc20, mc22)
+    return tuple(out), (w, xph, gexp, ramp, m6, mc20, mc22, None)
 
 
 def _vjp_bwd(static, res, cts):
-    L, nb, interpret = static
-    w, xph, gexp, ramp, m6, mc20, mc22 = res
+    L, nb, interpret = static[:3]
+    w, xph, gexp, ramp, m6, mc20, mc22, ck = res
     dz1, dz2g = cts
     outs = _bwd_call(w, xph, gexp, ramp, (m6, mc20, mc22), dz1, dz2g,
-                     L=L, nb=nb, interpret=interpret)
+                     L=L, nb=nb, interpret=interpret, ckpt=ck)
     dgexp = outs[0].astype(gexp.dtype)
     dw = {nm: g.astype(w[nm].dtype) for nm, g in zip(_GNAMES, outs[1:])}
     zeros = jnp.zeros_like
@@ -866,10 +925,14 @@ def unpack_outputs(z1k, z2gk, L: int):
 
 
 def make_fused_encode_fn(lead_num: int, theta_encoder_len: int = 1, *,
-                         nb: int = 8, interpret: bool = False):
+                         nb: int = 8, interpret: bool = False,
+                         tower_ckpt: bool = True):
     """Build the `encode_fn` hook for models.nefnet.nefnet_apply: a drop-in
     for encode_latents that runs the encoder through the fused kernel pair.
-    roi_reverse + lead means stay in XLA (single matmul / reductions)."""
+    roi_reverse + lead means stay in XLA (single matmul / reductions).
+
+    tower_ckpt=False selects the pure recompute backward (A/B knob —
+    tools/ab_train_encoder.py; gradients are bitwise identical either way)."""
 
     def fn(p, x, input_thetas, rois, *, rng=None, train=False):
         from electrocardio_panorama_tpu.models.nefnet import (
@@ -900,8 +963,8 @@ def make_fused_encode_fn(lead_num: int, theta_encoder_len: int = 1, *,
             if rng is None:
                 raise ValueError("fused encoder: train=True needs an rng for dropout")
             m6, mc20, mc22 = draw_masks(rng, B, L, x.dtype)
-            z1k, z2gk = encode_fused_train((L, nb_eff, interpret), w, xph, gexp,
-                                           ramp, m6, mc20, mc22)
+            z1k, z2gk = encode_fused_train((L, nb_eff, interpret, tower_ckpt),
+                                           w, xph, gexp, ramp, m6, mc20, mc22)
         else:
             z1k, z2gk = encode_fused_eval(w, xph, gexp, ramp, L=L, nb=nb_eff,
                                           interpret=interpret)

@@ -84,8 +84,17 @@ class CheckPointer:
         return None
 
     def load(self, resume: str | None = None, best_valid: bool = False):
-        """Returns (params, bn_state, opt_state, extras) or None if nothing to load."""
+        """Returns (params, bn_state, opt_state, extras) or None if nothing to load.
+
+        An EXPLICIT resume path that does not exist raises instead of
+        silently training from scratch (observed live: a mistyped
+        MODEL.resume truncated the scalar history and restarted epoch 0)."""
         path = self.resolve(resume, best_valid)
+        if resume and (path is None or not os.path.exists(path)):
+            raise FileNotFoundError(
+                f"MODEL.resume checkpoint not found: {resume!r} (resume takes "
+                "a checkpoint PATH, e.g. output/run/desc/epoch_123.pkl)"
+            )
         if path is None or not os.path.exists(path):
             return None
         try:
@@ -153,6 +162,11 @@ class OrbaxCheckPointer(CheckPointer):
         if path is None and best_valid and self.save_dir:
             cand = os.path.join(self.save_dir, "best_valid.orbax")
             path = cand if os.path.exists(cand) else None
+        if resume and (path is None or not os.path.exists(path)):
+            raise FileNotFoundError(
+                f"MODEL.resume checkpoint not found: {resume!r} (resume takes "
+                "a checkpoint PATH)"
+            )
         if path is None or not os.path.exists(path):
             return None
         if not path.endswith(".orbax"):

@@ -183,6 +183,7 @@ class Solver:
             enc_fn = make_fused_encode_fn(
                 cfg.DATA.lead_num, cfg.MODEL.theta_L,
                 interpret=jax.devices()[0].platform == "cpu",
+                tower_ckpt=bool(getattr(cfg.TPU, "encoder_ckpt", True)),
             )
         else:  # 'xla' (_train_encoder_mode rejects anything else)
             enc_fn = None
@@ -419,6 +420,14 @@ class Solver:
                 if single.shape[0]:
                     singlelead.append(single)
 
+        if not losses and not metrics_all:
+            # An empty epoch silently reports 0.0 for every loss/metric —
+            # observed live when a batch_size override exceeded the corpus
+            # size and drop_last swallowed every sample. Surface it.
+            print(f"WARNING: epoch {epoch} ({phase}) produced 0 batches — "
+                  f"is DATA.batch_size larger than the {phase} split "
+                  "(drop_last)?", flush=True)
+
         # ONE device->host sync for the whole epoch
         losses_np = np.asarray(jnp.stack(losses)) if losses else np.empty((0,))
         if phase == "train" and cfg.TPU.check_nans and losses:
@@ -459,7 +468,47 @@ class Solver:
         return jax.random.key(self.cfg.seed, impl=impl)
 
     # ----------------------------------------------------------------- train
+    def _acquire_run_lock(self):
+        """Exclusive advisory lock on the run directory (process 0 only).
+
+        Two trainers pointed at one output_dir interleave checkpoint saves
+        and scalar rows with no error (observed live: a half-killed run's
+        surviving main kept training while a second trainer's resume pruned
+        a row the first had just written — the committed curve lost epoch
+        124). A non-blocking flock turns that silent corruption into an
+        immediate, explicit failure. The fd is held (not unlinked) for the
+        training lifetime; the OS drops the lock on any exit, crash
+        included."""
+        import fcntl
+
+        if jax.process_index() != 0:
+            return None
+        os.makedirs(self.cfg.output_dir, exist_ok=True)
+        path = os.path.join(self.cfg.output_dir, ".train.lock")
+        f = open(path, "w")
+        try:
+            fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            f.close()
+            raise RuntimeError(
+                f"another trainer holds {path}: refusing to run two trainers "
+                "on one output_dir (they interleave epoch checkpoints and "
+                "scalars.jsonl rows); pick a different output_dir or stop "
+                "the other run"
+            )
+        f.write(f"pid {os.getpid()}\n")
+        f.flush()
+        return f
+
     def train(self, dl_train, dl_test):
+        lock = self._acquire_run_lock()
+        try:
+            return self._train_locked(dl_train, dl_test)
+        finally:
+            if lock is not None:
+                lock.close()  # closing the fd releases the flock
+
+    def _train_locked(self, dl_train, dl_test):
         cfg = self.cfg
         init_rng = jax.random.split(jax.random.PRNGKey(cfg.seed))[0]
         rng = self._train_rng()

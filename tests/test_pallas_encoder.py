@@ -181,6 +181,36 @@ def test_train_forward_and_grads_match_mask_oracle(setup):
         assert l2 <= 5e-4, f"{k}: grad L2 rel err {l2:.2e}"
 
 
+def test_tower_ckpt_backward_is_bitwise_recompute(setup):
+    """The block-boundary-checkpoint backward (TPU.encoder_ckpt=True) must
+    produce BITWISE the recompute backward's grads: the checkpoints store
+    exactly the values the recompute would rebuild (same kernel code), so
+    any difference is a wiring bug, not float noise."""
+    from electrocardio_panorama_tpu.ops.roi import roi_align_ramp
+
+    params, x, thetas, rois = setup
+    m6, mc20, mc22 = EF.draw_masks(jax.random.PRNGKey(3), B, L, jnp.float32)
+    enc = angular_encode(thetas, 1)
+    gate1 = linear(enc, params["mlp1.weight"], params["mlp1.bias"])
+    xph, gexp, ramp = EF.prep_encoder_inputs(x, gate1, roi_align_ramp(rois))
+    w = EF.pack_encoder_weights(params, L, jnp.float32)
+
+    def loss(ckpt):
+        def f(wa, g):
+            z1, z2g = EF.encode_fused_train((L, 8, True, ckpt), wa, xph, g,
+                                            ramp, m6, mc20, mc22)
+            return jnp.sum(z1 * 1.3) + jnp.sum(z2g * z2g)
+
+        return jax.value_and_grad(f, argnums=(0, 1))(w, gexp)
+
+    v0, (gw0, gg0) = loss(False)
+    v1, (gw1, gg1) = loss(True)
+    assert float(v0) == float(v1)
+    assert float(jnp.max(jnp.abs(gg0 - gg1))) == 0.0
+    for k in gw0:
+        assert float(jnp.max(jnp.abs(gw0[k] - gw1[k]))) == 0.0, k
+
+
 def test_partial_batch_falls_back_to_xla_on_hardware_path(setup):
     """VERDICT r4 item 8: a batch not divisible by the tile (e.g. a final
     partial eval batch, B=12 with nb=8) must complete under the HARDWARE

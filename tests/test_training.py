@@ -82,6 +82,26 @@ def test_train_two_epochs_and_resume(cfg):
     assert np.isfinite(m["psnr_gen"]) and np.isfinite(m["ssim_gen"])
 
 
+def test_run_lock_rejects_second_trainer(cfg, tmp_path):
+    """Two trainers on one output_dir must fail fast, not interleave
+    checkpoints/scalars (observed live: a surviving half-killed trainer and
+    a fresh resume corrupted the scalar history). The lock releases when
+    train() exits, so sequential train->resume in one process still works
+    (test_train_two_epochs_and_resume)."""
+    c = cfg.clone()
+    c.output_dir = str(tmp_path)
+    a = Solver(c, use_writer=False)
+    b = Solver(c, use_writer=False)
+    lock = a._acquire_run_lock()
+    assert lock is not None
+    with pytest.raises(RuntimeError, match="another trainer"):
+        b._acquire_run_lock()
+    lock.close()  # release -> a fresh trainer may start
+    lock2 = b._acquire_run_lock()
+    assert lock2 is not None
+    lock2.close()
+
+
 def test_nan_guard_raises_with_step_context(cfg):
     """Failure detection: a non-finite step loss must surface as a
     FloatingPointError naming the offending step and the resume path. The
@@ -139,6 +159,15 @@ def test_rng_impl_unknown_raises(cfg, tmp_path):
     c.TPU.rng_impl = "philox"
     with pytest.raises(ValueError, match="rng_impl"):
         Solver(c, use_writer=False)._train_rng()
+
+
+def test_explicit_resume_path_must_exist(tmp_path):
+    """A mistyped MODEL.resume must raise, not silently train from scratch
+    (a silent fallback once truncated a run's committed scalar history)."""
+    ck = CheckPointer(str(tmp_path))
+    assert ck.load(None) is None  # auto-resume with nothing saved is fine
+    with pytest.raises(FileNotFoundError, match="resume"):
+        ck.load(str(tmp_path / "epoch_123.pkl"))
 
 
 def test_checkpoint_roundtrip(tmp_path):

@@ -66,7 +66,11 @@ def main(K=256, reps=7):
 
     progs = {}
 
-    for mode in ("xla", "fused"):
+    # fused = tower-checkpoint backward (production default);
+    # fused-reco = pure recompute backward (TPU.encoder_ckpt=False)
+    for mode in ("xla", "fused", "fused-reco"):
+        enc_mode = "fused" if mode.startswith("fused") else "xla"
+        ckpt = mode == "fused"
         # ---- Solver harness (what training actually runs)
         cfg = get_cfg()
         cfg.desc = "debug"
@@ -74,7 +78,8 @@ def main(K=256, reps=7):
         cfg.DATA.lead_num = 3
         cfg.DATA.batch_size = B
         cfg.TPU.compute_dtype = "bfloat16"
-        cfg.TPU.train_encoder = mode
+        cfg.TPU.train_encoder = enc_mode
+        cfg.TPU.encoder_ckpt = ckpt
         cfg.output_dir = "/tmp/ab_train_encoder"
         s = Solver(cfg, use_writer=False)
         p0, bn0 = s.model.init(jax.random.PRNGKey(0))
@@ -104,12 +109,13 @@ def main(K=256, reps=7):
         pb, bnb = model.init(jax.random.PRNGKey(0))
         tx = get_optimizer(cfgb)
         optb = tx.init(pb)
-        if mode == "fused":
+        if enc_mode == "fused":
             from electrocardio_panorama_tpu.ops.pallas.encoder_fused import (
                 make_fused_encode_fn)
 
             ekw = {"encode_fn": make_fused_encode_fn(cfgb.DATA.lead_num,
-                                                     cfgb.MODEL.theta_L)}
+                                                     cfgb.MODEL.theta_L,
+                                                     tower_ckpt=ckpt)}
         else:
             ekw = {}
         castc = lambda t: cast_floats(t, jnp.bfloat16)  # noqa: E731
@@ -175,6 +181,9 @@ def main(K=256, reps=7):
         d = med[f"{h}/xla"] - med[f"{h}/fused"]
         print(f"  {h}: fused {'WINS' if d > 0 else 'LOSES'} by "
               f"{abs(d)*1e3:.3f} ms/step", flush=True)
+        dc = med[f"{h}/fused-reco"] - med[f"{h}/fused"]
+        print(f"  {h}: tower-ckpt {'WINS' if dc > 0 else 'LOSES'} vs "
+              f"recompute by {abs(dc)*1e3:.3f} ms/step", flush=True)
     print(f"  harness overhead (solver/xla - bench/xla): "
           f"{(med['solver/xla']-med['bench/xla'])*1e3:.3f} ms/step", flush=True)
 
