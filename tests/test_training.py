@@ -102,6 +102,26 @@ def test_run_lock_rejects_second_trainer(cfg, tmp_path):
     lock2.close()
 
 
+def test_empty_epoch_warns_not_silent_zero(cfg, tmp_path, capsys):
+    """A batch_size larger than the split makes drop_last swallow every
+    sample; the epoch must warn instead of reporting 0.0 loss as if it
+    trained (hit live with a batch_size 32 override on the 24-sample
+    synthetic corpus)."""
+    c = cfg.clone()
+    c.DATA.batch_size = 10_000
+    c.output_dir = str(tmp_path)
+    train_ds = build_dataset(c, "train")
+    dl = BeatLoader(train_ds, c.DATA.batch_size, shuffle=True,
+                    drop_last=True, seed=1)
+    s = Solver(c, use_writer=False)
+    params, bn_state = s.model.init(jax.random.PRNGKey(0))
+    out = s.run_one_epoch(dl, "train", epoch=0, params=params,
+                          bn_state=bn_state, opt_state=s.tx.init(params),
+                          rng=jax.random.PRNGKey(1))
+    assert out["losses"].size == 0
+    assert "produced 0 batches" in capsys.readouterr().out
+
+
 def test_nan_guard_raises_with_step_context(cfg):
     """Failure detection: a non-finite step loss must surface as a
     FloatingPointError naming the offending step and the resume path. The
