@@ -103,12 +103,16 @@ def get_default_cfg() -> Node:
     # encoder_vmem_bytes_estimate) and falls back to the XLA encode for
     # batches not divisible by 8 (e.g. a final partial validation batch)
     cfg.TPU.train_encoder = "auto"
-    # fused-encoder backward: True stores the 7 tower block-boundary planes
-    # in HBM during the forward (~19 MB/step at batch 32 bf16) and skips the
-    # tower recompute in the backward kernel — bitwise-identical gradients
-    # (tests/test_pallas_encoder.py), measured A/B in docs/KERNELS.md. False
-    # selects the pure recompute backward (zero activation HBM traffic).
-    cfg.TPU.encoder_ckpt = True
+    # fused-encoder backward checkpointing: 'tower' stores the 7 tower
+    # block-boundary planes in HBM during the forward (~19 MB/step at batch
+    # 32 bf16) and skips the tower recompute in the backward kernel —
+    # measured 2.467 vs 2.559 ms/step (recompute) vs 2.800 (XLA encoder) in
+    # the on-chip Solver A/B (docs/KERNELS.md "Tower-checkpoint encoder
+    # backward"). 'full' additionally stores the 10 post-tower planes
+    # (backward = pure reverse walk); 'off' is the zero-activation-HBM
+    # recompute backward. Gradients are bitwise identical across all three
+    # (tests/test_pallas_encoder.py).
+    cfg.TPU.encoder_ckpt = "tower"
     # eval/val encoder: "xla" | "fused" (forward-only fused encoder kernel;
     # needs batch % 8 == 0 on hardware)
     cfg.TPU.eval_encoder = "xla"

@@ -125,6 +125,24 @@ _WNAMES = (
     "c22w1", "c22w2", "c22wr", "c22br",
 )
 
+# The 10 post-tower planes the "full" checkpoint mode stores (the z1f/z2g
+# primal outputs complete the set without extra forward writes). First five
+# are lead-plane class [L,C,B*128]; last five are z-grid class
+# [7L,C,B*16 or B*32].
+_CKPT2_NAMES = ("wr1", "hw", "zr11", "zr12", "z2f", "A", "c1", "Hc", "Ht", "c2")
+
+
+def _ckpt_mode(v):
+    """Normalize the encoder-checkpoint knob: False/'off' -> False,
+    True/'tower' -> 'tower', 'full' -> 'full'."""
+    if v in (False, None, "off", "false", ""):
+        return False
+    if v in (True, "tower", "true"):
+        return "tower"
+    if v == "full":
+        return "full"
+    raise ValueError(f"encoder_ckpt: expected off|tower|full, got {v!r}")
+
 
 # -------------------------------------------------------------- host-side prep
 def prep_encoder_inputs(x, gate1, ramp_bs):
@@ -281,7 +299,7 @@ def _relu(a):
 
 
 def _stages(xph, gexp, ramp, mmid, bm16, u0, u1, masks, w, *, L, nb, train,
-            ckpt=None):
+            ckpt=None, ckpt2=None):
     """Shared forward chain; returns every intermediate the backward needs.
     masks = (m6, mc20, mc22) pre-scaled dropout masks, or None in eval.
 
@@ -290,7 +308,14 @@ def _stages(xph, gexp, ramp, mmid, bm16, u0, u1, masks, w, *, L, nb, train,
     tower (conv1 taps are still re-derived: the maxpool routing masks and
     the conv1 weight grad need ae/ao, two tiny K=16 matmuls per lead). The
     checkpointed values are bitwise the recompute's values (same kernel code
-    produced them), so gradients are unchanged."""
+    produced them), so gradients are unchanged.
+
+    ckpt2: optional tuple of the 12 post-tower planes
+    (wr1, hw, zr11, zr12, z2f, A, c1, Hc, Ht, c2, z1f, z2g_flat) — the
+    "full" checkpoint mode: with both tuples present the whole forward
+    recompute collapses to reads + the cheap mask/gate multiplies and the
+    backward is a pure reverse walk. z1f/z2g are the primal OUTPUTS fed
+    back (no extra forward writes for those two)."""
     sd = gexp.dtype
     n = nb * FEAT
     G7 = SEGS * L
@@ -335,55 +360,66 @@ def _stages(xph, gexp, ramp, mmid, bm16, u0, u1, masks, w, *, L, nb, train,
 
     # gate + w_conv (identity residual)
     hg = (h * gexp).astype(sd)
-    wr1 = _relu(_gconv(hg, w["wcw1"], FEAT)).astype(sd)
-    wr1m = wr1 * m6[3] if train else wr1
-    hw = _relu(_gconv(wr1m, w["wcw2"], FEAT) + hg.astype(jnp.float32)).astype(sd)
-
-    # split + z1_conv / z2_conv1 (1x1-conv residual, bias)
-    z1h, z2h = hw[:, :64], hw[:, 64:]
-
-    def zblock(zin, nm, mask):
-        zr1 = _relu(_gconv(zin, w[f"{nm}w1"], FEAT)).astype(sd)
-        zr1m = zr1 * mask if train else zr1
-        out = _relu(
-            _gconv(zr1m, w[f"{nm}w2"], FEAT)
-            + _bdot(w[f"{nm}wr"], zin)
-            + w[f"{nm}br"][:, :, None]
-        ).astype(sd)
-        return zr1, zr1m, out
-
-    zr11, zr1m1, z1f = zblock(z1h, "z1", m6[4] if train else None)
-    zr12, zr1m2, z2f = zblock(z2h, "z2", m6[5] if train else None)
-
-    # roi_align closed form -> flat (lead, channel, segment) order
-    mid = _dot_f32(z2f.reshape(L * FEAT, n), mmid)  # [L*128, nb]
-    midx = _dot_f32(mid.astype(sd), bm16)  # [L*128, X16]
-    mid_rep = jnp.broadcast_to(
-        midx[:, None, :], (L * FEAT, SEGS, X16)
-    ).reshape(L * FEAT * SEGS, X16)
     ramp_t = pltpu.repeat(ramp.astype(jnp.float32), L * FEAT, axis=0)  # [L*128*7, X16]
-    A = (mid_rep * ramp_t).astype(sd).reshape(G7, FEAT, X16)
+    if ckpt2 is None:
+        wr1 = _relu(_gconv(hg, w["wcw1"], FEAT)).astype(sd)
+        wr1m = wr1 * m6[3] if train else wr1
+        hw = _relu(_gconv(wr1m, w["wcw2"], FEAT) + hg.astype(jnp.float32)).astype(sd)
 
-    # z2_conv2.0 (identity residual)
-    c1 = _relu(_gconv(A, w["c20w1"], ALIGN)).astype(sd)
-    c1m = c1 * mc20 if train else c1
-    Hc = _relu(_gconv(c1m, w["c20w2"], ALIGN) + A.astype(jnp.float32)).astype(sd)
+        # split + z1_conv / z2_conv1 (1x1-conv residual, bias)
+        z1h, z2h = hw[:, :64], hw[:, 64:]
 
-    # ConvTranspose1d(k2,s2): batched channel dots + per-sample interleave
-    y0 = _bdot(w["wt"][0], Hc).astype(sd).reshape(G7 * 64, X16)
-    y1 = _bdot(w["wt"][1], Hc).astype(sd).reshape(G7 * 64, X16)
-    ht = (_dot_f32(y0, u0) + _dot_f32(y1, u1)).reshape(G7, 64, X32) \
-        + w["bt"][:, :, None]
-    Ht = ht.astype(sd)
+        def zblock(zin, nm, mask):
+            zr1 = _relu(_gconv(zin, w[f"{nm}w1"], FEAT)).astype(sd)
+            zr1m = zr1 * mask if train else zr1
+            out = _relu(
+                _gconv(zr1m, w[f"{nm}w2"], FEAT)
+                + _bdot(w[f"{nm}wr"], zin)
+                + w[f"{nm}br"][:, :, None]
+            ).astype(sd)
+            return zr1, zr1m, out
 
-    # z2_conv2.2 (1x1-conv residual, bias)
-    c2 = _relu(_gconv(Ht, w["c22w1"], 2 * ALIGN)).astype(sd)
-    c2m = c2 * mc22 if train else c2
-    z2g = _relu(
-        _gconv(c2m, w["c22w2"], 2 * ALIGN)
-        + _bdot(w["c22wr"], Ht)
-        + w["c22br"][:, :, None]
-    ).astype(sd)
+        zr11, zr1m1, z1f = zblock(z1h, "z1", m6[4] if train else None)
+        zr12, zr1m2, z2f = zblock(z2h, "z2", m6[5] if train else None)
+
+        # roi_align closed form -> flat (lead, channel, segment) order
+        mid = _dot_f32(z2f.reshape(L * FEAT, n), mmid)  # [L*128, nb]
+        midx = _dot_f32(mid.astype(sd), bm16)  # [L*128, X16]
+        mid_rep = jnp.broadcast_to(
+            midx[:, None, :], (L * FEAT, SEGS, X16)
+        ).reshape(L * FEAT * SEGS, X16)
+        A = (mid_rep * ramp_t).astype(sd).reshape(G7, FEAT, X16)
+
+        # z2_conv2.0 (identity residual)
+        c1 = _relu(_gconv(A, w["c20w1"], ALIGN)).astype(sd)
+        c1m = c1 * mc20 if train else c1
+        Hc = _relu(_gconv(c1m, w["c20w2"], ALIGN) + A.astype(jnp.float32)).astype(sd)
+
+        # ConvTranspose1d(k2,s2): batched channel dots + per-sample interleave
+        y0 = _bdot(w["wt"][0], Hc).astype(sd).reshape(G7 * 64, X16)
+        y1 = _bdot(w["wt"][1], Hc).astype(sd).reshape(G7 * 64, X16)
+        ht = (_dot_f32(y0, u0) + _dot_f32(y1, u1)).reshape(G7, 64, X32) \
+            + w["bt"][:, :, None]
+        Ht = ht.astype(sd)
+
+        # z2_conv2.2 (1x1-conv residual, bias)
+        c2 = _relu(_gconv(Ht, w["c22w1"], 2 * ALIGN)).astype(sd)
+        c2m = c2 * mc22 if train else c2
+        z2g = _relu(
+            _gconv(c2m, w["c22w2"], 2 * ALIGN)
+            + _bdot(w["c22wr"], Ht)
+            + w["c22br"][:, :, None]
+        ).astype(sd)
+    else:
+        # full-checkpoint reconstruction: only the mask products are
+        # re-derived (bitwise the originals — same operands, same op)
+        wr1, hw, zr11, zr12, z2f, A, c1, Hc, Ht, c2, z1f, z2gf = ckpt2
+        wr1m = wr1 * m6[3] if train else wr1
+        zr1m1 = zr11 * m6[4] if train else zr11
+        zr1m2 = zr12 * m6[5] if train else zr12
+        c1m = c1 * mc20 if train else c1
+        c2m = c2 * mc22 if train else c2
+        z2g = z2gf.reshape(G7, FEAT, X32)
 
     return dict(
         ae=ae_l, ao=ao_l, hs=hs, r1s=r1s, r1ms=r1ms,
@@ -416,6 +452,9 @@ def _fwd_kernel(*refs, L, nb, train, ckpt=False):
             r[...] = st["hs"][i]
         for b, r in enumerate(outs[6:9]):
             r[...] = st["r1s"][b]
+    if ckpt == "full":
+        for nm, r in zip(_CKPT2_NAMES, outs[9:19]):
+            r[...] = st[nm]
 
 
 def _acc(ref, val):
@@ -458,17 +497,16 @@ def _eqf(a, b):
     return a.astype(jnp.float32) == b.astype(jnp.float32)
 
 
-def _bwd_kernel(*refs, L, nb, ckpt=False):
-    """Recompute the forward (or read the tower checkpoints), then walk the
-    chain backwards emitting dgate plus every weight/bias grad
-    (grid-accumulated)."""
+def _bwd_kernel(*refs, L, nb, nck=0):
+    """Recompute the forward (or read the checkpoints: nck=7 tower planes,
+    nck=19 the full set), then walk the chain backwards emitting dgate plus
+    every weight/bias grad (grid-accumulated)."""
     (xph, gexp, ramp, mmid, bm16, u0, u1, mmidT, bm16T, u0T, u1T) = (
         r[...] for r in refs[:11]
     )
     m6, mc20, mc22 = (r[...] for r in refs[11:14])
     wrefs = refs[14:14 + len(_WNAMES)]
     dz1_ref, dz2g_ref = refs[14 + len(_WNAMES):16 + len(_WNAMES)]
-    nck = 7 if ckpt else 0
     ck = tuple(r[...] for r in refs[16 + len(_WNAMES):16 + len(_WNAMES) + nck])
     douts = refs[16 + len(_WNAMES) + nck:]
     dgexp_ref = douts[0]
@@ -485,7 +523,8 @@ def _bwd_kernel(*refs, L, nb, ckpt=False):
     G7 = SEGS * L
     X16, X32 = nb * ALIGN, nb * 2 * ALIGN
     st = _stages(xph, gexp, ramp, mmid, bm16, u0, u1, (m6, mc20, mc22),
-                 w, L=L, nb=nb, train=True, ckpt=ck if ckpt else None)
+                 w, L=L, nb=nb, train=True, ckpt=ck[:7] if nck else None,
+                 ckpt2=ck[7:] if nck > 7 else None)
 
     dz1 = dz1_ref[...].astype(f32)
     dz2g = dz2g_ref[...].reshape(G7, FEAT, X32).astype(f32)
@@ -622,8 +661,12 @@ def encoder_vmem_bytes_estimate(nb: int, L: int, itemsize: int = 2,
         # live set is the same either way (read vs computed residency)
         acts = (26 * plane + 14 * zplane) * itemsize + 6 * plane * 4
         return acts + welems * (itemsize + 4) + 2 * consts
-    # ckpt adds 7 tower-plane output blocks to the forward
-    acts = ((14 + (7 if ckpt else 0)) * plane + 10 * zplane) * itemsize
+    # ckpt adds output blocks to the forward: 7 tower planes ('tower'),
+    # plus 5 lead planes + 5 z-grid planes ('full')
+    mode = _ckpt_mode(ckpt)
+    nlead = {False: 0, "tower": 7, "full": 12}[mode]
+    nz = 5 if mode == "full" else 0
+    acts = ((14 + nlead) * plane + (10 + nz) * zplane) * itemsize
     return acts + welems * itemsize + consts
 
 
@@ -700,6 +743,18 @@ def _fwd_call(w, xph, gexp, ramp, masks, *, L, nb, train, interpret,
         # HBM round-trip vs the ~0.25 ms tower recompute it removes
         out_specs += [_block((L, FEAT, n), 2, 3)] * 7
         out_shape += [jax.ShapeDtypeStruct((L, FEAT, B * FEAT), sd)] * 7
+    if ckpt == "full":
+        # + the 10 post-tower planes (~26 MB/step more at B=32 bf16): the
+        # backward becomes a pure reverse walk (z1/z2g primals fed back free)
+        co = lambda nm: w[nm].shape[2]  # noqa: E731
+        G7 = SEGS * L
+        for C in (co("wcw1"), co("wcw2"), co("z1w1"), co("z2w1"), co("z2w2")):
+            out_specs.append(_block((L, C, n), 2, 3))
+            out_shape.append(jax.ShapeDtypeStruct((L, C, B * FEAT), sd))
+        for C, X in ((FEAT, ALIGN), (co("c20w1"), ALIGN), (co("c20w2"), ALIGN),
+                     (co("wt"), 2 * ALIGN), (co("c22w1"), 2 * ALIGN)):
+            out_specs.append(_block((G7, C, nb * X), 2, 3))
+            out_shape.append(jax.ShapeDtypeStruct((G7, C, B * X), sd))
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, L=L, nb=nb, train=train, ckpt=ckpt),
         grid=(G,),
@@ -819,7 +874,15 @@ def _bwd_call(w, xph, gexp, ramp, masks, dz1, dz2g, *, L, nb, interpret,
     args += [dz1.astype(sd), dz2g.astype(sd)]
     if ckpt is not None:
         in_specs += [_lb((1, FEAT, n), 0, 2)] * 7     # tower checkpoints
-        args += list(ckpt)
+        args += list(ckpt[:7])
+        if len(ckpt) > 7:                             # full mode: 10 + primals
+            for t in ckpt[7:12]:                      # lead planes
+                in_specs.append(_lb((1, t.shape[1], n), 0, 2))
+            for t in ckpt[12:17]:                     # z-grid planes
+                in_specs.append(_lb((SEGS, t.shape[1], t.shape[2] // G), 0, 2))
+            in_specs.append(_lb((1, FEAT, n), 0, 2))              # z1 primal
+            in_specs.append(_lb((SEGS * FEAT, nb * 2 * ALIGN), 0, 1))  # z2g
+            args += [t.astype(sd) for t in ckpt[7:]]
 
     out_specs = [_lb((1, FEAT, n), 0, 2)]  # dgexp
     out_shape = [jax.ShapeDtypeStruct((L, FEAT, B * FEAT), jnp.float32)]
@@ -828,7 +891,8 @@ def _bwd_call(w, xph, gexp, ramp, masks, dz1, dz2g, *, L, nb, interpret,
         out_specs.append(_lead_spec(shp, nm))
         out_shape.append(jax.ShapeDtypeStruct(shp, jnp.float32))
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, L=1, nb=nb, ckpt=ckpt is not None),
+        functools.partial(_bwd_kernel, L=1, nb=nb,
+                          nck=len(ckpt) if ckpt is not None else 0),
         grid=(L, G),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -862,11 +926,13 @@ def encode_fused_train(static, w: dict, xph, gexp, ramp, m6, mc20, mc22):
 
 def _vjp_fwd(static, w, xph, gexp, ramp, m6, mc20, mc22):
     L, nb, interpret = static[:3]
-    ckpt = static[3] if len(static) > 3 else False
+    ckpt = _ckpt_mode(static[3] if len(static) > 3 else False)
     if ckpt:
         z1, z2g, ck = _fwd_call(w, xph, gexp, ramp, (m6, mc20, mc22),
                                 L=L, nb=nb, train=True, interpret=interpret,
-                                ckpt=True)
+                                ckpt=ckpt)
+        if ckpt == "full":
+            ck = ck + (z1, z2g)  # primal outputs complete the full set
         return (z1, z2g), (w, xph, gexp, ramp, m6, mc20, mc22, ck)
     out = _fwd_call(w, xph, gexp, ramp, (m6, mc20, mc22),
                     L=L, nb=nb, train=True, interpret=interpret)
@@ -931,8 +997,12 @@ def make_fused_encode_fn(lead_num: int, theta_encoder_len: int = 1, *,
     for encode_latents that runs the encoder through the fused kernel pair.
     roi_reverse + lead means stay in XLA (single matmul / reductions).
 
-    tower_ckpt=False selects the pure recompute backward (A/B knob —
-    tools/ab_train_encoder.py; gradients are bitwise identical either way)."""
+    tower_ckpt: False/'off' = pure recompute backward (zero activation HBM
+    traffic); True/'tower' (default) = store the 7 tower block-boundary
+    planes; 'full' = store every reverse-walk plane (backward is a pure
+    reverse walk). Gradients are bitwise identical across all three (A/B
+    knob — tools/ab_train_encoder.py, tools/verify_encoder_ckpt.py)."""
+    tower_ckpt = _ckpt_mode(tower_ckpt)
 
     def fn(p, x, input_thetas, rois, *, rng=None, train=False):
         from electrocardio_panorama_tpu.models.nefnet import (

@@ -84,7 +84,7 @@ def build_dp_train_step(model_def, cfg, tx, mesh: Mesh, axis: str = "data",
         enc_fn = make_fused_encode_fn(
             cfg.DATA.lead_num, cfg.MODEL.theta_L,
             interpret=jax.devices()[0].platform == "cpu",
-            tower_ckpt=bool(getattr(cfg.TPU, "encoder_ckpt", True)),
+            tower_ckpt=getattr(cfg.TPU, "encoder_ckpt", "tower"),
         )
     else:
         enc_fn = None

@@ -183,7 +183,7 @@ class Solver:
             enc_fn = make_fused_encode_fn(
                 cfg.DATA.lead_num, cfg.MODEL.theta_L,
                 interpret=jax.devices()[0].platform == "cpu",
-                tower_ckpt=bool(getattr(cfg.TPU, "encoder_ckpt", True)),
+                tower_ckpt=getattr(cfg.TPU, "encoder_ckpt", "tower"),
             )
         else:  # 'xla' (_train_encoder_mode rejects anything else)
             enc_fn = None

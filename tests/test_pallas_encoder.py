@@ -181,8 +181,9 @@ def test_train_forward_and_grads_match_mask_oracle(setup):
         assert l2 <= 5e-4, f"{k}: grad L2 rel err {l2:.2e}"
 
 
-def test_tower_ckpt_backward_is_bitwise_recompute(setup):
-    """The block-boundary-checkpoint backward (TPU.encoder_ckpt=True) must
+@pytest.mark.parametrize("mode", ["tower", "full"])
+def test_ckpt_backward_is_bitwise_recompute(setup, mode):
+    """The checkpoint backwards (TPU.encoder_ckpt='tower'/'full') must
     produce BITWISE the recompute backward's grads: the checkpoints store
     exactly the values the recompute would rebuild (same kernel code), so
     any difference is a wiring bug, not float noise."""
@@ -204,7 +205,7 @@ def test_tower_ckpt_backward_is_bitwise_recompute(setup):
         return jax.value_and_grad(f, argnums=(0, 1))(w, gexp)
 
     v0, (gw0, gg0) = loss(False)
-    v1, (gw1, gg1) = loss(True)
+    v1, (gw1, gg1) = loss(mode)
     assert float(v0) == float(v1)
     assert float(jnp.max(jnp.abs(gg0 - gg1))) == 0.0
     for k in gw0:

@@ -111,21 +111,24 @@ def main(K=128, reps=5):
         return jax.jit(jax.value_and_grad(f, argnums=(0, 1)))(w, gexp)
 
     v0, (gw0, gg0) = run(False)
-    v1, (gw1, gg1) = run(True)
-    dmax = max(float(jnp.max(jnp.abs(gw0[k].astype(jnp.float32)
-                                     - gw1[k].astype(jnp.float32))))
-               for k in gw0)
-    dg = float(jnp.max(jnp.abs(gg0.astype(jnp.float32)
-                               - gg1.astype(jnp.float32))))
-    emit({"stage": "parity", "v_ckpt": float(v1), "v_reco": float(v0),
-          "grad_w_maxdiff": dmax, "grad_g_maxdiff": dg,
-          "ok": bool(dmax == 0.0 and dg == 0.0 and float(v0) == float(v1))})
+    for mode in ("tower", "full"):
+        v1, (gw1, gg1) = run(mode)
+        dmax = max(float(jnp.max(jnp.abs(gw0[k].astype(jnp.float32)
+                                         - gw1[k].astype(jnp.float32))))
+                   for k in gw0)
+        dg = float(jnp.max(jnp.abs(gg0.astype(jnp.float32)
+                                   - gg1.astype(jnp.float32))))
+        emit({"stage": "parity", "mode": mode, "v_ckpt": float(v1),
+              "v_reco": float(v0), "grad_w_maxdiff": dmax,
+              "grad_g_maxdiff": dg,
+              "ok": bool(dmax == 0.0 and dg == 0.0 and float(v0) == float(v1))})
 
     # ---- stage 3: interleaved Solver-harness timing
     progs = {}
     for name, (mode, ckpt) in {
         "xla": ("xla", False),
-        "fused-ckpt": ("fused", True),
+        "fused-ckpt": ("fused", "tower"),
+        "fused-full": ("fused", "full"),
         "fused-reco": ("fused", False),
     }.items():
         sv, (p0, bn0, opt0) = make_solver(mode, ckpt)
@@ -173,6 +176,7 @@ def main(K=128, reps=5):
     med = {n: round(float(np.median(v)), 4) for n, v in times.items()}
     emit({"stage": "verdict", "median_ms_per_step": med,
           "ckpt_vs_reco_ms": round(med["fused-reco"] - med["fused-ckpt"], 4),
+          "full_vs_ckpt_ms": round(med["fused-ckpt"] - med["fused-full"], 4),
           "ckpt_vs_xla_ms": round(med["xla"] - med["fused-ckpt"], 4)})
 
 
